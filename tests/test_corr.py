@@ -1,0 +1,110 @@
+"""Golden tests: XLA correlation/patchify vs a direct NumPy port of the
+reference CUDA kernel semantics (correlation_kernel.cu:16-175)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpvo_tpu.ops import avg_pool2d, patchify, sparse_corr
+
+
+def numpy_corr(gmap, fmap, coords, ii1, jj1, radius):
+    """Direct port of corr_forward_kernel + the 2x2 bilinear wrapper."""
+    E, P, _, _ = coords.shape
+    Np, C, _, _ = gmap.shape
+    mem, _, H2, W2 = fmap.shape
+    D = 2 * radius + 2
+    corr = np.zeros((E, P, P, D, D), np.float32)
+    for e in range(E):
+        f1 = gmap[ii1[e]]
+        f2 = fmap[jj1[e]]
+        for i0 in range(P):
+            for j0 in range(P):
+                x, y = coords[e, i0, j0]
+                for di in range(D):
+                    for dj in range(D):
+                        i1 = int(np.floor(y)) + di - radius
+                        j1 = int(np.floor(x)) + dj - radius
+                        if 0 <= i1 < H2 and 0 <= j1 < W2:
+                            corr[e, i0, j0, di, dj] = np.dot(f1[:, i0, j0], f2[:, i1, j1])
+    # bilinear reduce (dy, dx) -> (D-1, D-1)
+    dx = (coords[..., 0] - np.floor(coords[..., 0]))[..., None, None]
+    dy = (coords[..., 1] - np.floor(coords[..., 1]))[..., None, None]
+    out = (
+        (1 - dy) * (1 - dx) * corr[..., : D - 1, : D - 1]
+        + (1 - dy) * dx * corr[..., : D - 1, 1:]
+        + dy * (1 - dx) * corr[..., 1:, : D - 1]
+        + dy * dx * corr[..., 1:, 1:]
+    )
+    # -> [E, dx, dy, py, px]
+    return out.transpose(0, 4, 3, 1, 2)
+
+
+def make_inputs(key, E=17, Np=24, mem=4, C=16, H2=30, W2=40, P=3):
+    ks = jax.random.split(key, 5)
+    gmap = jax.random.normal(ks[0], (Np, C, P, P))
+    fmap = jax.random.normal(ks[1], (mem, C, H2, W2))
+    # coords partially out of bounds to exercise masking
+    coords = jnp.stack(
+        [
+            jax.random.uniform(ks[2], (E, P, P), minval=-6, maxval=W2 + 6),
+            jax.random.uniform(ks[3], (E, P, P), minval=-6, maxval=H2 + 6),
+        ],
+        axis=-1,
+    )
+    ii1 = jax.random.randint(ks[4], (E,), 0, Np)
+    jj1 = jax.random.randint(jax.random.PRNGKey(9), (E,), 0, mem)
+    return gmap, fmap, coords, ii1, jj1
+
+
+def test_sparse_corr_matches_numpy():
+    gmap, fmap, coords, ii1, jj1 = make_inputs(jax.random.PRNGKey(0))
+    got = sparse_corr(gmap, fmap, coords, ii1, jj1, radius=3)
+    want = numpy_corr(
+        np.asarray(gmap), np.asarray(fmap), np.asarray(coords), np.asarray(ii1), np.asarray(jj1), 3
+    )
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-3), np.abs(np.asarray(got) - want).max()
+
+
+def test_sparse_corr_chunked_matches_unchunked():
+    gmap, fmap, coords, ii1, jj1 = make_inputs(jax.random.PRNGKey(1), E=37)
+    a = sparse_corr(gmap, fmap, coords, ii1, jj1, radius=3, chunk=8)
+    b = sparse_corr(gmap, fmap, coords, ii1, jj1, radius=3, chunk=4096)
+    assert np.allclose(a, b, atol=1e-4)
+
+
+def test_patchify_integer_coords_exact():
+    key = jax.random.PRNGKey(2)
+    fmap = jax.random.normal(key, (8, 20, 24))
+    coords = jnp.array([[5.0, 7.0], [10.0, 3.0]])
+    out = patchify(fmap, coords, radius=1)
+    # integer coords -> exact center extraction
+    for m, (x, y) in enumerate([(5, 7), (10, 3)]):
+        want = fmap[:, y - 1 : y + 2, x - 1 : x + 2]
+        assert np.allclose(out[m], want, atol=1e-5)
+
+
+def test_patchify_bilinear_midpoint():
+    fmap = jnp.arange(24.0).reshape(1, 4, 6)
+    coords = jnp.array([[2.5, 1.5]])
+    out = patchify(fmap, coords, radius=0)  # [1,1,1,1]
+    want = (fmap[0, 1, 2] + fmap[0, 1, 3] + fmap[0, 2, 2] + fmap[0, 2, 3]) / 4
+    assert np.allclose(out[0, 0, 0, 0], want, atol=1e-5)
+
+
+def test_patchify_out_of_bounds_zero():
+    fmap = jnp.ones((2, 10, 10))
+    coords = jnp.array([[0.0, 0.0]])
+    out = patchify(fmap, coords, radius=1)
+    # top-left corner: rows/cols at -1 are zero-filled
+    assert np.allclose(out[0, 0, 0, :], 0.0)
+    assert np.allclose(out[0, 0, :, 0], 0.0)
+    assert np.allclose(out[0, 0, 1:, 1:], 1.0)
+
+
+def test_avg_pool():
+    x = jnp.arange(64.0).reshape(1, 8, 8)
+    y = avg_pool2d(x, 4)
+    assert y.shape == (1, 2, 2)
+    assert np.allclose(y[0, 0, 0], np.mean(np.arange(64).reshape(8, 8)[:4, :4]))
