@@ -1,0 +1,77 @@
+"""The recurrent update operator — flax.linen over padded edge arrays.
+
+Re-design of dpvo/net.py:175-339 (class Update) with the *upstream*
+message-passing semantics (the commented-out original at net.py:255-273:
+masked temporal neighbors, SoftAgg grouped by kk and by the (ii,jj)
+pair) rather than this fork's ONNX deviations (net.py:319-320 groups by
+ii alone; the 1e-10 ii-bias hacks at :331-337 exist only to defeat ONNX
+dead-code elimination and are omitted).
+
+All graph-dependent indexing (temporal neighbors ix/jx, dense group ids
+for both SoftAggs) is precomputed by the host topology manager and
+passed as fixed-shape int arrays — the XLA equivalent of the reference's
+``fastba.neighbors`` C++ op (fastba/ba.cpp:59-97) and ``torch.unique``
+grouping.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dpvo_tpu.models.blocks import GatedResidual, LayerNorm, MLP2, SoftAgg, gradient_clip
+
+
+class Update(nn.Module):
+    dim: int = 384
+    p: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, net, inp, corr, ix, jx, mask_ix, mask_jx, kk_seg, ij_seg, valid, num_segments: int):
+        """One round of the recurrent edge-GNN.
+
+        net [E,D] hidden state; inp [E,D] context (imap); corr [E,2*49*p*p];
+        ix/jx [E] previous/next edge of the same patch ordered by target
+        frame (invalid -> masked); kk_seg/ij_seg [E] dense group ids for
+        the two SoftAggs; valid [E] edge mask.
+
+        Returns (net', delta [E,2], weight [E,2]).
+        """
+        D = self.dim
+        dt = self.dtype
+
+        # corr encoder (ref net.py:201-208)
+        c = nn.Dense(D, dtype=dt)(corr)
+        c = nn.relu(c)
+        c = nn.Dense(D, dtype=dt)(c)
+        c = LayerNorm(dtype=dt)(c)
+        c = nn.relu(c)
+        c = nn.Dense(D, dtype=dt)(c)
+
+        net = net + inp + c
+        net = LayerNorm(dtype=dt)(net)
+
+        # temporal neighbor messages (ref net.py:259-265 upstream branch)
+        m_ix = mask_ix[:, None].astype(net.dtype)
+        m_jx = mask_jx[:, None].astype(net.dtype)
+        net = net + MLP2(D, dtype=dt, name="c1")(m_ix * net[ix])
+        net = net + MLP2(D, dtype=dt, name="c2")(m_jx * net[jx])
+
+        # grouped attention pooling (ref net.py:268-269 upstream grouping:
+        # by patch kk, and by frame-pair ii*12345+jj)
+        net = net + SoftAgg(D, dtype=dt, name="agg_kk")(net, kk_seg, num_segments, valid)
+        net = net + SoftAgg(D, dtype=dt, name="agg_ij")(net, ij_seg, num_segments, valid)
+
+        # gated-residual "GRU" (ref net.py:194-199)
+        net = LayerNorm(dtype=dt)(net)
+        net = GatedResidual(D, dtype=dt)(net)
+        net = LayerNorm(dtype=dt)(net)
+        net = GatedResidual(D, dtype=dt)(net)
+
+        # heads (ref net.py:210-219): flow delta + sigmoid confidence
+        d = nn.Dense(2, dtype=dt, name="head_d")(nn.relu(net))
+        d = gradient_clip(d.astype(jnp.float32))
+        w = nn.Dense(2, dtype=dt, name="head_w")(nn.relu(net))
+        w = nn.sigmoid(gradient_clip(w.astype(jnp.float32)))
+        return net, d, w
