@@ -1,0 +1,309 @@
+"""Jit-compiled device step functions for the VO runtime.
+
+Each method of StepFunctions is a fixed-shape jitted program; together
+they cover the device side of the reference's per-frame work
+(dpvo/dpvo.py:905-1029 __call__, :775-836 update, :392-417 terminate).
+The host orchestrator (runtime/dpvo.py) sequences them and owns the
+dynamic topology.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dpvo_tpu.ba import solver as ba_solver
+from dpvo_tpu.config import Config
+from dpvo_tpu.geom import projective as pops
+from dpvo_tpu.lie import se3
+from dpvo_tpu.models import Patchifier, Update
+from dpvo_tpu.ops import avg_pool2d, corr_stack
+from dpvo_tpu.runtime.state import VOState
+
+
+class StepFunctions:
+    def __init__(self, cfg: Config, ht: int, wd: int):
+        self.cfg = cfg
+        self.ht, self.wd = ht, wd
+        fdt = jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32
+        self.fdt = fdt
+        self.patchifier = Patchifier(patch_size=cfg.P, dim=cfg.DIM, fdim=cfg.FDIM, dtype=fdt)
+        self.update_op = Update(dim=cfg.DIM, p=cfg.P, dtype=fdt)
+        self.pmem = cfg.MAX_EDGE_AGE if cfg.LOOP_CLOSURE else cfg.PMEM
+
+        self.patchify = jax.jit(self._patchify)
+        self.ingest = jax.jit(self._ingest, donate_argnums=(0,))
+        self.update = jax.jit(self._update, donate_argnums=(1,))
+        self.update_noba = jax.jit(self._update_noba, donate_argnums=(1,))
+        self.ba_only = jax.jit(self._ba_only, donate_argnums=(0,))
+        self.zero_edges = jax.jit(self._zero_edges, donate_argnums=(0,))
+        self.probe = jax.jit(self._probe)
+        self.flowmag_pair = jax.jit(self._flowmag_pair)
+        self.compact_edges = jax.jit(self._compact_edges, donate_argnums=(0,))
+        self.store_inactive = jax.jit(self._store_inactive, donate_argnums=(0,))
+        self.keyframe_shift = jax.jit(self._keyframe_shift, donate_argnums=(0,))
+        self.global_ba = jax.jit(self._global_ba, donate_argnums=(1,))
+        self.normalize = jax.jit(self._normalize, donate_argnums=(0,))
+        self.point_cloud = jax.jit(self._point_cloud)
+
+    # ---------------- frame ingestion ----------------
+
+    def _patchify(self, params, image_u8, key):
+        """image_u8 [H,W,3] uint8 -> patch features (ref dpvo.py:917-929)."""
+        img = 2.0 * (image_u8.astype(jnp.float32) / 255.0) - 0.5
+        img = img[None].astype(self.fdt)  # [1,H,W,3]
+        fmap, gmap_p, imap_p, patches, clr = self.patchifier.apply(
+            params["patchifier"], img, self.cfg.PATCHES_PER_FRAME, key,
+            centroid_sel_strat=self.cfg.CENTROID_SEL_STRAT,
+        )
+        # BGR color convention + [0,255] (ref dpvo.py:937)
+        clr = (clr[:, ::-1] + 0.5) * (255.0 / 2)
+        fmap_chw = fmap[0].transpose(2, 0, 1).astype(self.fdt)  # [fdim,h,w]
+        return fmap_chw, gmap_p.astype(self.fdt), imap_p.astype(self.fdt), patches, clr
+
+    def _ingest(
+        self, state: VOState, n, fmap, gmap_p, imap_p, patches, clr, intrinsics,
+        motion_fac, is_initialized, do_motion, key,
+    ) -> VOState:
+        """Write one frame into the buffers + motion/depth init
+        (ref dpvo.py:931-971)."""
+        cfg = self.cfg
+        M, P = cfg.PATCHES_PER_FRAME, cfg.P
+
+        intr = state.intrinsics.at[n].set(intrinsics / cfg.RES)
+        colors = state.colors.at[n].set(clr.astype(jnp.uint8))
+
+        # damped-linear motion model (ref dpvo.py:943-954)
+        P1 = state.poses[jnp.maximum(n - 1, 0)]
+        P2 = state.poses[jnp.maximum(n - 2, 0)]
+        xi = cfg.MOTION_DAMPING * motion_fac * se3.log(se3.mul(P1, se3.inv(P2)))
+        pred = se3.mul(se3.exp(xi), P1)
+        pred = jnp.where(do_motion, pred, P1)
+        poses = state.poses.at[n].set(pred)
+
+        # depth init: random, or median of last-3-frame depths (ref :960-964)
+        d_rand = jax.random.uniform(key, patches[:, 2].shape)
+        lo = jnp.maximum(n - 3, 0) * M
+        window = jax.lax.dynamic_slice(
+            state.patches[:, 2, P // 2, P // 2], (lo,), (3 * M,)
+        )
+        d_med = jnp.median(window)
+        depth = jnp.where(is_initialized, d_med, d_rand)
+        patches = patches.at[:, 2].set(jnp.broadcast_to(depth, patches[:, 2].shape))
+        patches_all = jax.lax.dynamic_update_slice(state.patches, patches, (n * M, 0, 0, 0))
+
+        # circular feature memories (ref :968-971)
+        slot_p = (n % self.pmem) * M
+        imap = jax.lax.dynamic_update_slice(state.imap, imap_p, (slot_p, 0))
+        gmap = jax.lax.dynamic_update_slice(state.gmap, gmap_p, (slot_p, 0, 0, 0))
+        fmap1 = state.fmap1.at[n % cfg.MEM].set(fmap)
+        fmap2 = state.fmap2.at[n % cfg.MEM].set(avg_pool2d(fmap, 4))
+
+        return state._replace(
+            poses=poses, patches=patches_all, intrinsics=intr, colors=colors,
+            imap=imap, gmap=gmap, fmap1=fmap1, fmap2=fmap2,
+        )
+
+    # ---------------- the hot loop ----------------
+
+    def _edge_forward(self, params, state: VOState, es: Dict[str, Any], net=None):
+        """reproject -> correlate -> update operator (ref dpvo.py:775-810)."""
+        cfg = self.cfg
+        if net is None:
+            net = state.net
+        coords = pops.transform(
+            state.poses, state.patches, state.intrinsics, es["ii"], es["jj"], es["kk"]
+        )  # [E,P,P,2]
+        corr = corr_stack(
+            state.gmap, (state.fmap1, state.fmap2), coords.astype(jnp.float32),
+            es["ii1"], es["jj1"], radius=cfg.CORR_RADIUS, chunk=2048,
+        ).astype(self.fdt)
+        ctx = state.imap[es["ii1"]]
+        net, delta, weight = self.update_op.apply(
+            params["update"], net, ctx, corr,
+            es["ix"], es["jx"], es["mask_ix"], es["mask_jx"],
+            es["kk_seg"], es["ij_seg"], es["valid"], num_segments=cfg.E_MAX,
+        )
+        c = cfg.P // 2
+        target = coords[:, c, c, :].astype(jnp.float32) + delta
+        return net, target, weight, delta
+
+    def _update(self, params, state: VOState, es: Dict[str, Any], t0, nfree) -> VOState:
+        """One tracking round: update operator + sliding-window BA
+        (ref dpvo.py:775-836)."""
+        cfg = self.cfg
+        net, target, weight, _ = self._edge_forward(params, state, es)
+
+        state = state._replace(net=net, target=target, weight=weight)
+
+        # sliding-window BA over active edges
+        ctr = state.patches[es["dense2patch"], :, cfg.P // 2, cfg.P // 2]  # [Md,3] (clip-gather)
+        fx, fy, cx, cy = state.intrinsics[0]
+        bounds = jnp.stack([-cfg.BA_BORDER, -cfg.BA_BORDER, 2 * cx + cfg.BA_BORDER, 2 * cy + cfg.BA_BORDER])
+        poses, depths = ba_solver.ba(
+            state.poses, ctr, state.intrinsics, target, weight, es["valid"],
+            es["ii"], es["jj"], es["kd"], t0, nfree, bounds, jnp.float32(cfg.BA_LMBDA),
+            W=cfg.W_OPT_MAX, Md=cfg.M_OPT_MAX, iterations=cfg.BA_ITERS,
+            ep=cfg.BA_EP, lm=cfg.BA_LM, res_clip=cfg.BA_RESIDUAL_CLIP, clamp_mode="runtime",
+        )
+        patches = state.patches.at[es["dense2patch"], 2].set(
+            depths[:, None, None], mode="drop"
+        )
+        return state._replace(poses=poses, patches=patches)
+
+    def _ba_only(self, state: VOState, es: Dict[str, Any], target, weight, t0, nfree) -> VOState:
+        """Sliding-window BA with externally supplied targets — the
+        ground-truth-oracle debugging mode (bypasses the network; used by
+        integration tests to validate the geometry/solver stack
+        end-to-end)."""
+        cfg = self.cfg
+        state = state._replace(target=target, weight=weight)
+        ctr = state.patches[es["dense2patch"], :, cfg.P // 2, cfg.P // 2]
+        fx, fy, cx, cy = state.intrinsics[0]
+        bounds = jnp.stack([-cfg.BA_BORDER, -cfg.BA_BORDER, 2 * cx + cfg.BA_BORDER, 2 * cy + cfg.BA_BORDER])
+        poses, depths = ba_solver.ba(
+            state.poses, ctr, state.intrinsics, target, weight, es["valid"],
+            es["ii"], es["jj"], es["kd"], t0, nfree, bounds, jnp.float32(cfg.BA_LMBDA),
+            W=cfg.W_OPT_MAX, Md=cfg.M_OPT_MAX, iterations=cfg.BA_ITERS,
+            ep=cfg.BA_EP, lm=cfg.BA_LM, res_clip=cfg.BA_RESIDUAL_CLIP, clamp_mode="runtime",
+        )
+        patches = state.patches.at[es["dense2patch"], 2].set(depths[:, None, None], mode="drop")
+        return state._replace(poses=poses, patches=patches)
+
+    def _update_noba(self, params, state: VOState, es: Dict[str, Any]) -> VOState:
+        """Update operator only (used before a global-BA round, which
+        replaces the sliding-window solve; ref dpvo.py:812-816)."""
+        net, target, weight, _ = self._edge_forward(params, state, es)
+        return state._replace(net=net, target=target, weight=weight)
+
+    def _zero_edges(self, state: VOState, start, count) -> VOState:
+        """Zero hidden state of freshly appended edges (ref dpvo.py:519)."""
+        idx = jnp.arange(self.cfg.E_MAX)
+        fresh = ((idx >= start) & (idx < start + count))[:, None]
+        return state._replace(net=jnp.where(fresh, 0.0, state.net).astype(state.net.dtype))
+
+    def _probe(self, params, state: VOState, es: Dict[str, Any]):
+        """Motion probe: median |delta| over probe edges with zero hidden
+        state, no BA (ref dpvo.py:570-584)."""
+        zero_net = jnp.zeros((es["ii"].shape[0], self.cfg.DIM), self.fdt)
+        _, _, _, delta = self._edge_forward(params, state, es, net=zero_net)
+        mag = jnp.linalg.norm(delta, axis=-1)
+        big = 1e9
+        mag = jnp.where(es["valid"], mag, big)
+        k = jnp.sum(es["valid"])
+        srt = jnp.sort(mag)
+        med = srt[jnp.maximum(k // 2, 0)]
+        return med
+
+    def _flowmag_pair(self, state: VOState, ii, jj, kk, valid, beta):
+        """Masked mean flow magnitude (ref dpvo.py:586-599 motionmag)."""
+        mag, val = pops.flow_mag(
+            state.poses, state.patches, state.intrinsics, ii, jj, kk, beta=beta
+        )
+        m = jnp.mean(mag, axis=(1, 2)) * valid
+        cnt = jnp.maximum(jnp.sum(valid), 1)
+        return jnp.sum(m) / cnt
+
+    # ---------------- topology maintenance ----------------
+
+    def _compact_edges(self, state: VOState, perm, new_start, new_count) -> VOState:
+        """Permute edge payloads after removal, zeroing appended slots
+        (ref dpvo.py:519, :559-566)."""
+        idx = jnp.arange(self.cfg.E_MAX)
+        fresh = (idx >= new_start) & (idx < new_start + new_count)
+        net = jnp.where(fresh[:, None], 0.0, state.net[perm]).astype(state.net.dtype)
+        target = jnp.where(fresh[:, None], 0.0, state.target[perm])
+        weight = jnp.where(fresh[:, None], 0.0, state.weight[perm])
+        return state._replace(net=net, target=target, weight=weight)
+
+    def _store_inactive(self, state: VOState, src, dst, count) -> VOState:
+        """Copy removed edges' targets/weights into the inactive ring
+        (ref dpvo.py:537-553)."""
+        k = jnp.arange(src.shape[0])
+        ok = k < count
+        dst_safe = jnp.where(ok, dst, self.cfg.E_INAC_MAX)  # drop padded
+        ti = state.target_inac.at[dst_safe].set(state.target[src], mode="drop")
+        wi = state.weight_inac.at[dst_safe].set(state.weight[src], mode="drop")
+        return state._replace(target_inac=ti, weight_inac=wi)
+
+    def _keyframe_shift(self, state: VOState, frame_perm, patch_perm, pmem_perm, mem_perm) -> VOState:
+        """Delete a keyframe by gathering every frame-indexed buffer
+        (ref dpvo.py:658-670)."""
+        M = self.cfg.PATCHES_PER_FRAME
+        pslots = (pmem_perm[:, None] * M + jnp.arange(M)[None, :]).reshape(-1)
+        return state._replace(
+            poses=state.poses[frame_perm],
+            patches=state.patches[patch_perm],
+            intrinsics=state.intrinsics[frame_perm],
+            colors=state.colors[frame_perm],
+            imap=state.imap[pslots],
+            gmap=state.gmap[pslots],
+            fmap1=state.fmap1[mem_perm],
+            fmap2=state.fmap2[mem_perm],
+        )
+
+    # ---------------- global BA + gauge ----------------
+
+    def _normalize(self, state: VOState, n, m) -> VOState:
+        """Scale-gauge fixing before global BA (ref patchgraph.py:93-100)."""
+        M, P = self.cfg.PATCHES_PER_FRAME, self.cfg.P
+        pidx = jnp.arange(state.patches.shape[0])
+        pvalid = pidx < m
+        d = state.patches[:, 2]
+        s = jnp.sum(jnp.where(pvalid[:, None, None], d, 0.0)) / jnp.maximum(
+            jnp.sum(pvalid) * P * P, 1
+        )
+        patches = state.patches.at[:, 2].set(jnp.where(pvalid[:, None, None], d / s, d))
+        fvalid = jnp.arange(state.poses.shape[0]) < n
+        t_scaled = state.poses[:, :3] * s
+        poses = state.poses.at[:, :3].set(jnp.where(fvalid[:, None], t_scaled, state.poses[:, :3]))
+        # re-anchor to the first pose (ref patchgraph.py:100)
+        anchor = se3.inv(poses[0])
+        re = se3.mul(poses, anchor)
+        poses = jnp.where(fvalid[:, None], re, poses)
+        return state._replace(poses=poses, patches=patches), s
+
+    def _global_ba(self, params, state: VOState, ges: Dict[str, Any], inac_pos, n_inac, t0, nfree) -> VOState:
+        """Full-history BA over active + inactive edges
+        (ref dpvo.py:695-716 __run_global_BA)."""
+        cfg = self.cfg
+        Eg = cfg.GBA_EDGES_MAX
+        # assemble target/weight: first n_inac from the inactive ring, rest active
+        k = jnp.arange(Eg)
+        inac_slot = inac_pos  # [Eg] precomputed ring slots (padded)
+        act_slot = jnp.clip(k - n_inac, 0, cfg.E_MAX - 1)
+        t_in = state.target_inac[inac_slot]
+        w_in = state.weight_inac[inac_slot]
+        t_ac = state.target[act_slot]
+        w_ac = state.weight[act_slot]
+        use_inac = (k < n_inac)[:, None]
+        target = jnp.where(use_inac, t_in, t_ac)
+        weight = jnp.where(use_inac, w_in, w_ac)
+
+        ctr = state.patches[ges["dense2patch"], :, cfg.P // 2, cfg.P // 2]
+        fx, fy, cx, cy = state.intrinsics[0]
+        bounds = jnp.stack([-cfg.BA_BORDER, -cfg.BA_BORDER, 2 * cx + cfg.BA_BORDER, 2 * cy + cfg.BA_BORDER])
+        poses, depths = ba_solver.ba(
+            state.poses, ctr, state.intrinsics, target, weight, ges["valid"],
+            ges["ii"], ges["jj"], ges["kd"], t0, nfree, bounds, jnp.float32(cfg.BA_LMBDA),
+            W=cfg.GBA_POSES_MAX, Md=cfg.GBA_DEPTHS_MAX, iterations=cfg.GBA_ITERS,
+            ep=cfg.BA_EP, lm=cfg.BA_LM, res_clip=cfg.BA_RESIDUAL_CLIP, clamp_mode="runtime",
+        )
+        patches = state.patches.at[ges["dense2patch"], 2].set(depths[:, None, None], mode="drop")
+        return state._replace(poses=poses, patches=patches)
+
+    # ---------------- outputs ----------------
+
+    def _point_cloud(self, state: VOState, m) -> jnp.ndarray:
+        """World points at patch centers for viewer/export
+        (ref dpvo.py:834-836)."""
+        cfg = self.cfg
+        ix = jnp.arange(state.patches.shape[0], dtype=jnp.int32) // cfg.PATCHES_PER_FRAME
+        X = pops.point_cloud(state.poses, state.patches, state.intrinsics, ix)
+        c = cfg.P // 2
+        pts = X[:, c, c, :3] / jnp.maximum(jnp.abs(X[:, c, c, 3:]), 1e-8) * jnp.sign(X[:, c, c, 3:])
+        ok = (jnp.arange(pts.shape[0]) < m)[:, None]
+        return jnp.where(ok, pts, 0.0)
