@@ -1,0 +1,61 @@
+"""End-to-end tracking benchmark — frames/second on one chip.
+
+Runs the full DPVO pipeline (patchify -> correlation -> update operator
+-> sliding-window BA -> keyframing) on a deterministic synthetic
+480x640 sequence and reports steady-state FPS.
+
+Baseline: the reference repo commits no FPS numbers (BASELINE.md); the
+DPVO paper's real-time claim for the default config is ~60 FPS on a
+desktop GPU, so vs_baseline = fps / 60.0. The BASELINE.json target is
+>= 2x reference FPS per chip (vs_baseline >= 2.0).
+
+Prints exactly one JSON line:
+  {"metric": "vo_fps", "value": N, "unit": "frames/s", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from dpvo_tpu.config import Config
+    from dpvo_tpu.runtime import DPVO
+    from dpvo_tpu.utils.synthetic import PlaneScene
+
+    ht, wd = 480, 640
+    n_warmup = 15
+    n_bench = 100
+
+    cfg = Config()  # default.yaml-equivalent knobs
+    scene = PlaneScene(ht=ht, wd=wd, n_frames=n_warmup + n_bench, depth=4.0, seed=7)
+    frames = [scene.render(t) for t in range(n_warmup + n_bench)]
+
+    slam = DPVO(cfg, None, ht=ht, wd=wd, seed=0)
+
+    # warmup covers initialization + all jit compiles
+    for t in range(n_warmup):
+        slam(t, frames[t], scene.intrinsics.copy())
+    jax.block_until_ready(slam.state.poses)
+
+    t0 = time.perf_counter()
+    for t in range(n_warmup, n_warmup + n_bench):
+        slam(t, frames[t], scene.intrinsics.copy())
+    jax.block_until_ready(slam.state.poses)
+    dt = time.perf_counter() - t0
+
+    fps = n_bench / dt
+    print(json.dumps({
+        "metric": "vo_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

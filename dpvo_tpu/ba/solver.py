@@ -74,20 +74,23 @@ def _center_residuals(prob: BAProblem, bounds, res_clip: float):
     return r, w, Ji, Jj, Jz
 
 
-@partial(jax.jit, static_argnames=("W", "Md", "ep", "lm", "res_clip"))
-def ba_delta(
+def assemble_normal_eqs(
     prob: BAProblem,
     bounds,
-    lmbda,
     *,
     W: int,
     Md: int,
-    ep: float = 1.0,
-    lm: float = 1e-4,
     res_clip: float = 128.0,
-) -> Tuple[jax.Array, jax.Array]:
-    """One Gauss-Newton step: returns (dX [W,6], dZ [Md])."""
-    E = prob.ii.shape[0]
+):
+    """Edge-parallel normal-equation assembly: returns (B6 [6W,6W],
+    E6 [6W,Md], C [Md], u [Md], v6 [6W]).
+
+    This is the distributable half of the solver: each edge contributes
+    independently via segment sums, so sharding the edge axis and
+    psum-ing the outputs over ICI yields the distributed global BA
+    (parallel/dist_ba.py) — the TPU equivalent of the reference's
+    atomicAdd scatter kernel (ba_cuda.cu:335-373).
+    """
     r, w, Ji, Jj, Jz = _center_residuals(prob, bounds, res_clip)
     r = r.astype(jnp.float32)
     w = w.astype(jnp.float32)
@@ -139,19 +142,25 @@ def ba_delta(
     v = v.at[seg_p(pj, free_j)].add(jnp.einsum("er,eri->ei", w * r, Jj))
     v = v[:W]
 
-    # --- Schur complement (ref ba_cuda.cu:519-563) ---
-    Q = 1.0 / (C + lmbda)  # [Md]
     B6 = B.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
     E6 = Em.transpose(0, 2, 1).reshape(6 * W, Md)
+    return B6, E6, C, u, v.reshape(6 * W)
+
+
+def schur_solve(
+    B6, E6, C, u, v6, lmbda, nfree, *, W: int, ep: float = 1.0, lm: float = 1e-4
+) -> Tuple[jax.Array, jax.Array]:
+    """Damped Schur-complement solve (ref ba_cuda.cu:519-563)."""
+    Q = 1.0 / (C + lmbda)  # [Md]
     EQ = E6 * Q[None, :]
     S = B6 - EQ @ E6.T
-    y = v.reshape(6 * W) - EQ @ u
+    y = v6 - EQ @ u
 
     # damping: S_ii += lm * S_ii + ep  (ba_cuda.cu:546)
     S = S + jnp.diag(lm * jnp.diag(S) + ep)
 
     # mask out padded / fixed rows -> identity block, zero rhs
-    free_row = (jnp.arange(W) < prob.nfree).repeat(6)
+    free_row = (jnp.arange(W) < nfree).repeat(6)
     S = S * (free_row[:, None] & free_row[None, :]) + jnp.diag((~free_row).astype(jnp.float32))
     y = y * free_row
 
@@ -164,6 +173,23 @@ def ba_delta(
     dZ = Q * (u - E6.T @ dX6)
     dZ = jnp.where(bad, 0.0, dZ)
     return dX6.reshape(W, 6), dZ
+
+
+@partial(jax.jit, static_argnames=("W", "Md", "ep", "lm", "res_clip"))
+def ba_delta(
+    prob: BAProblem,
+    bounds,
+    lmbda,
+    *,
+    W: int,
+    Md: int,
+    ep: float = 1.0,
+    lm: float = 1e-4,
+    res_clip: float = 128.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """One Gauss-Newton step: returns (dX [W,6], dZ [Md])."""
+    B6, E6, C, u, v6 = assemble_normal_eqs(prob, bounds, W=W, Md=Md, res_clip=res_clip)
+    return schur_solve(B6, E6, C, u, v6, lmbda, prob.nfree, W=W, ep=ep, lm=lm)
 
 
 def apply_pose_retr(poses, dX, t0, nfree, W: int):
