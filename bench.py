@@ -28,7 +28,7 @@ def main():
     from dpvo_tpu.utils.synthetic import PlaneScene
 
     ht, wd = 480, 640
-    n_warmup = 15
+    n_warmup = 30  # covers init (frame 8) + all steady-state jit compiles
     n_bench = 100
 
     cfg = Config()  # default.yaml-equivalent knobs
@@ -36,6 +36,10 @@ def main():
     frames = [scene.render(t) for t in range(n_warmup + n_bench)]
 
     slam = DPVO(cfg, None, ht=ht, wd=wd, seed=0)
+    # untrained weights would fail the motion-probe init gate
+    # (dpvo.py:975-978); force initialization so the benchmark exercises
+    # the full steady-state pipeline the way trained weights would
+    slam._motion_probe = lambda: 1e9
 
     # warmup covers initialization + all jit compiles
     for t in range(n_warmup):

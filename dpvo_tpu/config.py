@@ -60,7 +60,9 @@ class Config:
     CORR_LEVELS: int = 2                # pyramid levels (1x, 4x)
 
     # ---- TPU static-shape capacities (new; XLA needs fixed shapes) ----
-    E_MAX: int = 28672                 # max active edges (padded)
+    # steady-state active edges with default knobs is ~30k: each patch
+    # accrues ~(2*PATCH_LIFETIME-1) edges and lives REMOVAL_WINDOW frames
+    E_MAX: int = 36864                 # max active edges (padded)
     E_INAC_MAX: int = 32768            # max inactive (stored) edges
     W_OPT_MAX: int = 16                # padded sliding-window pose count
     M_OPT_MAX: int = 2048              # padded depth-variable count (window BA)

@@ -114,18 +114,129 @@ def sparse_corr(gmap, fmap, coords, ii1, jj1, radius: int = 3, chunk: int = 2048
     return out.reshape(n_chunks * chunk, 2 * radius + 1, 2 * radius + 1, P, P)[:E]
 
 
-def corr_stack(gmap, pyramid, coords, ii1, jj1, radius: int = 3, chunk: int = 2048, levels=(1, 4)):
+def corr_stack(gmap, pyramid, coords, ii1, jj1, radius: int = 3, chunk: int = 2048,
+               levels=(1, 4), impl: str = "region"):
     """Two-level correlation, flattened per edge to [E, (2r+1)^2*P^2*L].
 
     Matches the runtime stacking at dpvo/dpvo.py:462-465: per-level
     volumes stacked on a trailing level axis then flattened.
+    impl: "region" (TPU-fast MXU formulation) | "gather" (direct port).
     """
+    fn = sparse_corr_region if impl == "region" else sparse_corr
     outs = []
     for lvl, fmap in zip(levels, pyramid):
-        outs.append(sparse_corr(gmap, fmap, coords / lvl, ii1, jj1, radius, chunk))
+        outs.append(fn(gmap, fmap, coords / lvl, ii1, jj1, radius, chunk))
     out = jnp.stack(outs, axis=-1)  # [E, d, d, P, P, L]
     E = out.shape[0]
     return out.reshape(E, -1)
+
+
+REGION = 16  # per-edge feature region edge length (covers window + patch spread)
+
+
+def _corr_region_chunk(fmap, H2, W2, radius, f1, jj1, coords):
+    """Region-based correlation for one edge chunk — the TPU-fast path.
+
+    Instead of per-sample gathers (256B granularity, slow on TPU), gather
+    ONE contiguous [16,16,C] region per edge (64KB slices), contract it
+    against the patch features on the MXU, then select each patch pixel's
+    (2r+2)^2 window from the tiny per-edge dot-map with one-hot einsums:
+
+        dotmap[e,p,a,b] = sum_c region[e,a,b,c] * f1[e,p,c]     (MXU)
+        corr[e,p,dy,dx] = dotmap[e,p, ry(e,p)+dy, rx(e,p)+dx]   (one-hot)
+
+    Numerically identical to the direct formulation wherever the window
+    fits the region (patch-pixel spread <= 4px from the patch center —
+    always true for gated edges); out-of-region samples are zeroed just
+    like out-of-image samples in the reference kernel.
+    """
+    Ec, C, P, _ = f1.shape
+    D = 2 * radius + 2
+    R = REGION
+
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dxf = (x - x0).reshape(Ec, P * P, 1, 1)
+    dyf = (y - y0).reshape(Ec, P * P, 1, 1)
+    x0 = x0.astype(jnp.int32).reshape(Ec, P * P)
+    y0 = y0.astype(jnp.int32).reshape(Ec, P * P)
+
+    c = (P * P) // 2
+    y0r = jnp.clip(y0[:, c] - (R // 2 - 1), 0, max(H2 - R, 0))
+    x0r = jnp.clip(x0[:, c] - (R // 2 - 1), 0, max(W2 - R, 0))
+
+    # one 64KB-slice gather per edge: region [Ec, R, R, C]. Slicing the
+    # 4-D buffer directly (frame axis included) keeps the vmap a single
+    # gather with slice_sizes (1,R,R,C) — indexing fmap[j] first would
+    # materialize a full frame per edge.
+    fmap_nhwc = fmap  # [mem, H2, W2, C]
+    Cc = fmap_nhwc.shape[-1]
+    region = jax.vmap(
+        lambda j, ys, xs: jax.lax.dynamic_slice(fmap_nhwc, (j, ys, xs, 0), (1, R, R, Cc))[0]
+    )(jj1, y0r, x0r)
+
+    # MXU contraction: [Ec,R,R,C] x [Ec,P2,C] -> [Ec,P2,R,R]
+    f1p = f1.reshape(Ec, C, P * P).transpose(0, 2, 1)
+    dotmap = jnp.einsum("eabc,epc->epab", region, f1p.astype(region.dtype),
+                        preferred_element_type=jnp.float32)
+
+    # window select: ry/rx [Ec,P2,D] relative offsets into the region
+    offs = jnp.arange(D, dtype=jnp.int32) - radius
+    iy = y0[:, :, None] + offs[None, None, :]  # absolute sample rows
+    ix = x0[:, :, None] + offs[None, None, :]
+    ry = iy - y0r[:, None, None]
+    rx = ix - x0r[:, None, None]
+    ok_y = (ry >= 0) & (ry < R) & (iy >= 0) & (iy < H2)
+    ok_x = (rx >= 0) & (rx < R) & (ix >= 0) & (ix < W2)
+    ar = jnp.arange(R, dtype=jnp.int32)
+    OHy = ((jnp.clip(ry, 0, R - 1)[..., None] == ar) & ok_y[..., None]).astype(dotmap.dtype)
+    OHx = ((jnp.clip(rx, 0, R - 1)[..., None] == ar) & ok_x[..., None]).astype(dotmap.dtype)
+    # corr[e,p,dy,dx] = OHy[e,p,dy,a] dotmap[e,p,a,b] OHx[e,p,dx,b]
+    tmp = jnp.einsum("epua,epab->epub", OHy, dotmap)
+    corr = jnp.einsum("epub,epvb->epuv", tmp, OHx)  # [Ec,P2,D,D]
+
+    out = (
+        (1 - dyf) * (1 - dxf) * corr[:, :, : D - 1, : D - 1]
+        + (1 - dyf) * dxf * corr[:, :, : D - 1, 1:]
+        + dyf * (1 - dxf) * corr[:, :, 1:, : D - 1]
+        + dyf * dxf * corr[:, :, 1:, 1:]
+    )
+    return out.reshape(Ec, P, P, D - 1, D - 1).transpose(0, 4, 3, 1, 2)
+
+
+@partial(jax.jit, static_argnames=("radius", "chunk"))
+def sparse_corr_region(gmap, fmap, coords, ii1, jj1, radius: int = 3, chunk: int = 4096):
+    """Region-gather correlation (same contract as sparse_corr)."""
+    E = coords.shape[0]
+    mem, C, H2, W2 = fmap.shape
+    fmap_nhwc = fmap.transpose(0, 2, 3, 1)  # [mem,H2,W2,C]
+    f1 = gmap[ii1]
+
+    if E <= chunk:
+        return _corr_region_chunk(fmap_nhwc, H2, W2, radius, f1, jj1, coords)
+
+    n_chunks = -(-E // chunk)
+    pad = n_chunks * chunk - E
+    P = coords.shape[1]
+    f1p = jnp.pad(f1, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    jjp = jnp.pad(jj1, (0, pad))
+    cdp = jnp.pad(coords, ((0, pad), (0, 0), (0, 0), (0, 0)))
+
+    def body(args):
+        f1c, jjc, cc = args
+        return _corr_region_chunk(fmap_nhwc, H2, W2, radius, f1c, jjc, cc)
+
+    out = jax.lax.map(
+        body,
+        (
+            f1p.reshape(n_chunks, chunk, C, P, P),
+            jjp.reshape(n_chunks, chunk),
+            cdp.reshape(n_chunks, chunk, P, P, 2),
+        ),
+    )
+    return out.reshape(n_chunks * chunk, 2 * radius + 1, 2 * radius + 1, P, P)[:E]
 
 
 @partial(jax.jit, static_argnames=("radius",))

@@ -154,6 +154,15 @@ class DPVO:
             self.keyframe()
 
     def _append(self, kk, jj):
+        overflow = len(self.topo.ii) + len(kk) - self.cfg.E_MAX
+        if overflow > 0:
+            # degrade gracefully: retire the oldest active edges into the
+            # inactive store (the fork raises here, dpvo.py:504-509; we
+            # keep tracking and let global BA still see the constraints)
+            print(f"warning: E_MAX={self.cfg.E_MAX} reached; retiring {overflow} oldest edges")
+            rm = np.zeros(len(self.topo.ii), bool)
+            rm[:overflow] = True
+            self.state = self._remove_store(rm)
         start, count = self.topo.append(kk, jj)
         self.state = self.steps.zero_edges(self.state, jnp.int32(start), jnp.int32(count))
 

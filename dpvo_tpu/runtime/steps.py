@@ -117,9 +117,10 @@ class StepFunctions:
         coords = pops.transform(
             state.poses, state.patches, state.intrinsics, es["ii"], es["jj"], es["kk"]
         )  # [E,P,P,2]
+        impl = "gather" if cfg.CORR_IMPL == "xla" else "region"
         corr = corr_stack(
             state.gmap, (state.fmap1, state.fmap2), coords.astype(jnp.float32),
-            es["ii1"], es["jj1"], radius=cfg.CORR_RADIUS, chunk=2048,
+            es["ii1"], es["jj1"], radius=cfg.CORR_RADIUS, chunk=4096, impl=impl,
         ).astype(self.fdt)
         ctx = state.imap[es["ii1"]]
         net, delta, weight = self.update_op.apply(

@@ -108,3 +108,54 @@ def test_avg_pool():
     y = avg_pool2d(x, 4)
     assert y.shape == (1, 2, 2)
     assert np.allclose(y[0, 0, 0], np.mean(np.arange(64).reshape(8, 8)[:4, :4]))
+
+
+def test_region_corr_matches_gather():
+    """Region/MXU formulation == direct gather wherever windows fit the
+    region (patch spread small, the gated-edge regime)."""
+    import jax
+
+    from dpvo_tpu.ops import sparse_corr_region
+
+    key = jax.random.PRNGKey(5)
+    ks = jax.random.split(key, 5)
+    E, Np, mem, C, H2, W2, P = 23, 16, 4, 16, 40, 48, 3
+    gmap = jax.random.normal(ks[0], (Np, C, P, P))
+    fmap = jax.random.normal(ks[1], (mem, C, H2, W2))
+    # patch centers with small per-pixel spread (realistic reprojection)
+    cx = jax.random.uniform(ks[2], (E, 1, 1), minval=5, maxval=W2 - 5)
+    cy = jax.random.uniform(ks[3], (E, 1, 1), minval=5, maxval=H2 - 5)
+    offs = jnp.arange(P) - P // 2
+    gx = jnp.broadcast_to(cx + offs[None, None, :] * 1.1, (E, P, P))
+    gy = jnp.broadcast_to(cy + offs[None, :, None] * 0.9, (E, P, P))
+    coords = jnp.stack([gx, gy], axis=-1)
+    ii1 = jax.random.randint(ks[4], (E,), 0, Np)
+    jj1 = jax.random.randint(jax.random.PRNGKey(6), (E,), 0, mem)
+
+    a = sparse_corr(gmap, fmap, coords, ii1, jj1, radius=3)
+    b = sparse_corr_region(gmap, fmap, coords, ii1, jj1, radius=3)
+    assert np.allclose(a, b, atol=2e-3), np.abs(np.asarray(a) - np.asarray(b)).max()
+
+
+def test_region_corr_image_border():
+    """Out-of-image samples are zeroed identically near borders."""
+    import jax
+
+    from dpvo_tpu.ops import sparse_corr_region
+
+    E, Np, mem, C, H2, W2, P = 8, 4, 2, 8, 24, 28, 3
+    key = jax.random.PRNGKey(7)
+    gmap = jax.random.normal(key, (Np, C, P, P))
+    fmap = jax.random.normal(jax.random.PRNGKey(8), (mem, C, H2, W2))
+    # centers right at the border
+    cx = jnp.array([1.2, 2.0, W2 - 2.0, 5.0, W2 - 1.5, 3.0, 14.0, 1.0])
+    cy = jnp.array([1.5, H2 - 2.0, 2.0, H2 - 1.2, H2 - 2.5, 2.2, 1.1, H2 - 1.0])
+    offs = jnp.arange(P, dtype=jnp.float32) - 1
+    gx = jnp.broadcast_to(cx[:, None, None] + offs[None, None, :], (E, P, P))
+    gy = jnp.broadcast_to(cy[:, None, None] + offs[None, :, None], (E, P, P))
+    coords = jnp.stack([gx, gy], -1)
+    ii1 = jnp.zeros(E, jnp.int32)
+    jj1 = jnp.zeros(E, jnp.int32)
+    a = sparse_corr(gmap, fmap, coords, ii1, jj1, radius=3)
+    b = sparse_corr_region(gmap, fmap, coords, ii1, jj1, radius=3)
+    assert np.allclose(a, b, atol=2e-3), np.abs(np.asarray(a) - np.asarray(b)).max()
