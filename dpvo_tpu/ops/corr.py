@@ -152,7 +152,11 @@ def _corr_region_chunk(fmap, H2, W2, radius, f1, jj1, coords):
     """
     Ec, C, P, _ = f1.shape
     D = 2 * radius + 2
-    R = REGION
+    # Clamp the region to the map extent per axis: when clamped, the
+    # region spans the whole axis, so out-of-region == out-of-image and
+    # the zeroing semantics are unchanged.
+    Ry = min(REGION, H2)
+    Rx = min(REGION, W2)
 
     x = coords[..., 0]
     y = coords[..., 1]
@@ -164,17 +168,17 @@ def _corr_region_chunk(fmap, H2, W2, radius, f1, jj1, coords):
     y0 = y0.astype(jnp.int32).reshape(Ec, P * P)
 
     c = (P * P) // 2
-    y0r = jnp.clip(y0[:, c] - (R // 2 - 1), 0, max(H2 - R, 0))
-    x0r = jnp.clip(x0[:, c] - (R // 2 - 1), 0, max(W2 - R, 0))
+    y0r = jnp.clip(y0[:, c] - (Ry // 2 - 1), 0, max(H2 - Ry, 0))
+    x0r = jnp.clip(x0[:, c] - (Rx // 2 - 1), 0, max(W2 - Rx, 0))
 
-    # one 64KB-slice gather per edge: region [Ec, R, R, C]. Slicing the
+    # one 64KB-slice gather per edge: region [Ec, Ry, Rx, C]. Slicing the
     # 4-D buffer directly (frame axis included) keeps the vmap a single
-    # gather with slice_sizes (1,R,R,C) — indexing fmap[j] first would
+    # gather with slice_sizes (1,Ry,Rx,C) — indexing fmap[j] first would
     # materialize a full frame per edge.
     fmap_nhwc = fmap  # [mem, H2, W2, C]
     Cc = fmap_nhwc.shape[-1]
     region = jax.vmap(
-        lambda j, ys, xs: jax.lax.dynamic_slice(fmap_nhwc, (j, ys, xs, 0), (1, R, R, Cc))[0]
+        lambda j, ys, xs: jax.lax.dynamic_slice(fmap_nhwc, (j, ys, xs, 0), (1, Ry, Rx, Cc))[0]
     )(jj1, y0r, x0r)
 
     # MXU contraction: [Ec,R,R,C] x [Ec,P2,C] -> [Ec,P2,R,R]
@@ -188,11 +192,12 @@ def _corr_region_chunk(fmap, H2, W2, radius, f1, jj1, coords):
     ix = x0[:, :, None] + offs[None, None, :]
     ry = iy - y0r[:, None, None]
     rx = ix - x0r[:, None, None]
-    ok_y = (ry >= 0) & (ry < R) & (iy >= 0) & (iy < H2)
-    ok_x = (rx >= 0) & (rx < R) & (ix >= 0) & (ix < W2)
-    ar = jnp.arange(R, dtype=jnp.int32)
-    OHy = ((jnp.clip(ry, 0, R - 1)[..., None] == ar) & ok_y[..., None]).astype(dotmap.dtype)
-    OHx = ((jnp.clip(rx, 0, R - 1)[..., None] == ar) & ok_x[..., None]).astype(dotmap.dtype)
+    ok_y = (ry >= 0) & (ry < Ry) & (iy >= 0) & (iy < H2)
+    ok_x = (rx >= 0) & (rx < Rx) & (ix >= 0) & (ix < W2)
+    ary = jnp.arange(Ry, dtype=jnp.int32)
+    arx = jnp.arange(Rx, dtype=jnp.int32)
+    OHy = ((jnp.clip(ry, 0, Ry - 1)[..., None] == ary) & ok_y[..., None]).astype(dotmap.dtype)
+    OHx = ((jnp.clip(rx, 0, Rx - 1)[..., None] == arx) & ok_x[..., None]).astype(dotmap.dtype)
     # corr[e,p,dy,dx] = OHy[e,p,dy,a] dotmap[e,p,a,b] OHx[e,p,dx,b]
     tmp = jnp.einsum("epua,epab->epub", OHy, dotmap)
     corr = jnp.einsum("epub,epvb->epuv", tmp, OHx)  # [Ec,P2,D,D]
