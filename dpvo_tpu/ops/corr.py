@@ -284,6 +284,34 @@ def patchify(fmap, coords, radius: int):
     return out
 
 
+def corr_features_xla(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
+                      radius: int = 3, chunk: int = 2048, impl: str = "region"):
+    """Two-level correlation features in the canonical layout shared
+    with ops/corr_pallas.py:corr_features_pallas — differentiable XLA
+    path used for training and as the CPU/golden reference.
+
+    gmap [Np,C,P,P]; fmap1/fmap2 [mem,H2,W2,C] NHWC; coords [E,P,P,2]
+    level-1 scale; returns [E, P*P, 2*(2r+2)^2] bfloat16 where each
+    level block is laid out [p(py*P+px), u(dy)*D + v(dx)] with the last
+    row/column (u or v == D-1) zero.
+    """
+    P = coords.shape[1]
+    D = 2 * radius + 2
+    fn = sparse_corr_region if impl == "region" else sparse_corr
+    outs = []
+    for fmap, scale in ((fmap1, 1.0), (fmap2, 4.0)):
+        fm = fmap.transpose(0, 3, 1, 2)  # NHWC -> NCHW for the low-level op
+        c = fn(gmap, fm, coords / scale, ii1, jj1, radius, chunk)
+        # [E, dx, dy, py, px] -> [E, py*px, dy, dx] -> pad to D x D
+        E = c.shape[0]
+        c = c.transpose(0, 3, 4, 2, 1).reshape(E, P * P, D - 1, D - 1)
+        c = jnp.pad(c, ((0, 0), (0, 0), (0, 1), (0, 1)))
+        outs.append(c.reshape(E, P * P, D * D))
+    out = jnp.concatenate(outs, axis=-1)
+    out = out * valid[:, None, None]
+    return out.astype(jnp.bfloat16)
+
+
 def avg_pool2d(x, k: int):
     """Average pool with stride k (ref F.avg_pool2d in pyramidify,
     dpvo/utils.py:65-74). x [..., C, H, W], H and W divisible by k."""
@@ -292,3 +320,13 @@ def avg_pool2d(x, k: int):
     *lead, C, H, W = x.shape
     x = x.reshape(*lead, C, H // k, k, W // k, k)
     return x.mean(axis=(-3, -1))
+
+
+def avg_pool2d_nhwc(x, k: int):
+    """Average pool with stride k over NHWC/HWC layout.
+    x [..., H, W, C], H and W divisible by k."""
+    if k == 1:
+        return x
+    *lead, H, W, C = x.shape
+    x = x.reshape(*lead, H // k, k, W // k, k, C)
+    return x.mean(axis=(-4, -2))
