@@ -83,7 +83,13 @@ class Config:
     GBA_ITERS: int = 2
 
     # ---- correlation kernel ----
-    CORR_IMPL: str = "auto"            # auto | xla | pallas
+    CORR_IMPL: str = "auto"            # auto (pallas on TPU, xla elsewhere) | xla | pallas
+
+    @property
+    def CORR_WIDTH(self) -> int:
+        """Flattened canonical corr-feature width fed to the update
+        operator: P^2 patch pixels x CORR_LEVELS x (2r+2)^2 window."""
+        return self.P * self.P * self.CORR_LEVELS * (2 * self.CORR_RADIUS + 2) ** 2
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -31,7 +31,8 @@ class Update(nn.Module):
     def __call__(self, net, inp, corr, ix, jx, mask_ix, mask_jx, kk_seg, ij_seg, valid, num_segments: int):
         """One round of the recurrent edge-GNN.
 
-        net [E,D] hidden state; inp [E,D] context (imap); corr [E,2*49*p*p];
+        net [E,D] hidden state; inp [E,D] context (imap); corr [E,CORR_WIDTH]
+        (canonical layout from ops.corr_features_*);
         ix/jx [E] previous/next edge of the same patch ordered by target
         frame (invalid -> masked); kk_seg/ij_seg [E] dense group ids for
         the two SoftAggs; valid [E] edge mask.

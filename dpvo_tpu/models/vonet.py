@@ -29,7 +29,8 @@ from dpvo_tpu.geom import projective as pops
 from dpvo_tpu.lie import se3
 from dpvo_tpu.models.patchifier import Patchifier
 from dpvo_tpu.models.update import Update
-from dpvo_tpu.ops import avg_pool2d, sparse_corr
+from dpvo_tpu.ops import avg_pool2d_nhwc
+from dpvo_tpu.ops.corr import corr_features_xla
 from dpvo_tpu.parallel.shard import edge_shard
 from dpvo_tpu.runtime.topology import neighbors
 
@@ -119,10 +120,9 @@ def vo_forward(
         params["patchifier"], images_n, M, k_pf, disps=disps4,
         centroid_sel_strat=cfg.CENTROID_SEL_STRAT,
     )
-    # fmap [F,h,w,fdim] -> pyramid in CHW (ref CorrBlock levels 1,4)
-    fmap_chw = fmap.transpose(0, 3, 1, 2).astype(fdt)
-    pyr1 = fmap_chw
-    pyr2 = avg_pool2d(fmap_chw, 4)
+    # fmap [F,h,w,fdim] -> 2-level NHWC pyramid (ref CorrBlock levels 1,4)
+    pyr1 = fmap.astype(fdt)
+    pyr2 = avg_pool2d_nhwc(pyr1, 4)
 
     patches_gt = patches
     d0 = jax.random.uniform(k_d, (F * M,))
@@ -168,9 +168,11 @@ def vo_forward(
         patches = jax.lax.stop_gradient(patches)
 
         coords = edge_shard(pops.transform(Gs, patches, intr_all, ii, jj, kk))
-        corr1 = sparse_corr(gmap, pyr1, coords.astype(jnp.float32), kk, jj, radius=cfg.CORR_RADIUS)
-        corr2 = sparse_corr(gmap, pyr2, coords.astype(jnp.float32) / 4, kk, jj, radius=cfg.CORR_RADIUS)
-        corr = edge_shard(jnp.stack([corr1, corr2], -1).reshape(Es, -1).astype(fdt))
+        corr = corr_features_xla(
+            gmap, pyr1, pyr2, coords.astype(jnp.float32), kk, jj, valid,
+            radius=cfg.CORR_RADIUS,
+        )
+        corr = edge_shard(corr.reshape(Es, -1).astype(fdt))
 
         net = edge_shard(net_full[:Es])
         net, delta, weight = up.apply(

@@ -3,29 +3,34 @@
 TPU-native replacement for the reference altcorr CUDA kernel
 (dpvo/altcorr/correlation_kernel.cu:82-175). The XLA gather formulation
 in ops/corr.py moves one 16x16x128 region per edge through HBM
-(~2.4 GB per level at E=36k) and measures ~50 GB/s effective; this
-kernel instead exploits that edges sharing a target frame reuse the
-same feature map:
+(~2.4 GB per level at E=36k); this kernel instead exploits that edges
+sharing a target frame reuse the same feature map:
 
   1. edges are processed sorted by target frame jj,
   2. the full target feature map is DMA'd into a zero-padded VMEM
      cache once per distinct frame (~22 loads x ~6 MB instead of 36k
      x 64 KB),
-  3. each edge slices its 9 patch-pixel windows [D,D,C] straight out
-     of VMEM, contracts them against the patch features on the MXU,
-     and applies the 2x2 bilinear reduction with pre-folded weights.
+  3. each edge slices its P^2 patch-pixel windows [D,D,C] out of VMEM
+     (aligned wide loads + dynamic rotate for the sublane offset) and
+     contracts them against the patch features on the MXU.
+
+The kernel emits the raw window dot-products s[e, p, u*D+v] (f32
+accumulated, bf16 stored); the 2x2 bilinear reduction to the
+(D-1)x(D-1) grid runs outside in XLA where it vectorizes across edges
+at full lane width (in-kernel it costs ~200 cycles/edge on 9-sublane
+tiles).
 
 Out-of-image samples read the zeroed cache border, reproducing the
 reference kernel's zero-outside-bounds semantics exactly; windows that
-fall entirely outside the (padded) image are killed via the bilinear
+fall entirely outside the padded image are killed via the bilinear
 weights.
 
 Output layout (canonical "corr feature" order, shared with the
 differentiable XLA path in ops/corr.py:corr_features_xla):
 
   out[e, p, u*D + v]  with p = py*P+px, u = dy, v = dx  (u,v < D-1
-  valid, the D-1 columns/rows are zero padding), one [E, P*P, D*D]
-  block per pyramid level, concatenated on the last axis.
+  valid, the last row/column are zero), one [E, P*P, D*D] block per
+  pyramid level, concatenated on the last axis.
 """
 
 from __future__ import annotations
@@ -43,20 +48,17 @@ EB = 128  # edges per grid step
 def _make_kernel(H2: int, W2: int, C: int, D: int, P2: int):
     W = D * D
 
-    def kernel(jj_s, cy_s, cx_s, f1_r, w00_r, w01_r, w10_r, w11_r,
-               fmap_r, out_r, cache_r, win_r, loaded_r, sem):
+    def kernel(jj_s, cy_s, cx_s, f1_r, fmap_r, out_r, cache_r, win_r, loaded_r, sem):
         @pl.when(pl.program_id(0) == 0)
         def _():
             loaded_r[0] = -1
             cache_r[:] = jnp.zeros_like(cache_r)
 
-        # constants hoisted out of the edge loop
+        # constant: keep only the own-patch column of the MXU result
         sel = (
             jax.lax.broadcasted_iota(jnp.int32, (P2 * W, P2), 1)
             == jax.lax.broadcasted_iota(jnp.int32, (P2 * W, P2), 0) // W
         ).astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (P2, W), 1)
-        keep = ((lane % D < D - 1) & (lane // D < D - 1)).astype(jnp.float32)
 
         def body(e, _):
             j = jj_s[0, e]
@@ -92,16 +94,7 @@ def _make_kernel(H2: int, W2: int, C: int, D: int, P2: int):
                 preferred_element_type=jnp.float32,
             )
             s = (res * sel).reshape(P2, W, P2).sum(axis=-1)  # [P2, W]
-
-            # 2x2 bilinear with pre-folded (1-dy)(1-dx)-style weights;
-            # lane rolls implement the (u+1, v+1) shifts of the D x D grid
-            o = (
-                w00_r[e].reshape(P2, 1) * s
-                + w01_r[e].reshape(P2, 1) * pltpu.roll(s, W - 1, 1)
-                + w10_r[e].reshape(P2, 1) * pltpu.roll(s, W - D, 1)
-                + w11_r[e].reshape(P2, 1) * pltpu.roll(s, W - D - 1, 1)
-            )
-            out_r[e] = (o * keep).astype(out_r.dtype)
+            out_r[e] = s.astype(out_r.dtype)
             return 0
 
         jax.lax.fori_loop(0, EB, body, 0)
@@ -116,56 +109,71 @@ def _corr_level(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
     E, P2, C = f1.shape
     mem, H2, W2, _ = fmap.shape
     D = 2 * radius + 2
+    W = D * D
+
+    # DMA slice widths must be 8-aligned (sublane tiling); zero-pad the
+    # map width — identical to the out-of-image zero semantics
+    W2a = -(-W2 // 8) * 8
+    if W2a != W2:
+        fmap = jnp.pad(fmap, ((0, 0), (0, 0), (0, W2a - W2), (0, 0)))
 
     x = cs[..., 0]
     y = cs[..., 1]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    dxf = x - x0
-    dyf = y - y0
+    dxf = (x - x0).astype(jnp.float32)
+    dyf = (y - y0).astype(jnp.float32)
     sy = y0.astype(jnp.int32) - radius
     sx = x0.astype(jnp.int32) - radius
     vp = (vs[:, None] & (sy >= -D) & (sy <= H2) & (sx >= -D) & (sx <= W2))
     vf = vp.astype(jnp.float32)
     cy = (jnp.clip(sy, -D, H2) + D).astype(jnp.int32)
     cx = (jnp.clip(sx, -D, W2) + D).astype(jnp.int32)
-    w00 = (1 - dyf) * (1 - dxf) * vf
-    w01 = (1 - dyf) * dxf * vf
-    w10 = dyf * (1 - dxf) * vf
-    w11 = dyf * dxf * vf
 
     grid = (E // EB,)
     smem = lambda *blk: pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1),
                                      memory_space=pltpu.SMEM)
     vmem = lambda *blk: pl.BlockSpec(blk, lambda i: (i,) + (0,) * (len(blk) - 1),
                                      memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        _make_kernel(H2, W2, C, D, P2),
+    s = pl.pallas_call(
+        _make_kernel(H2, W2a, C, D, P2),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, EB), lambda i: (0, i), memory_space=pltpu.SMEM),  # jj
             smem(EB, P2),        # cy
             smem(EB, P2),        # cx
             vmem(EB, P2, C),     # f1
-            vmem(EB, P2),        # w00
-            vmem(EB, P2),        # w01
-            vmem(EB, P2),        # w10
-            vmem(EB, P2),        # w11
             pl.BlockSpec(memory_space=pltpu.ANY),  # fmap (HBM)
         ],
-        out_specs=vmem(EB, P2, D * D),
-        out_shape=jax.ShapeDtypeStruct((E, P2, D * D), jnp.bfloat16),
+        out_specs=vmem(EB, P2, W),
+        out_shape=jax.ShapeDtypeStruct((E, P2, W), jnp.bfloat16),
         scratch_shapes=[
             # x is the sublane dim: pad right by an extra D so the
             # aligned 2D-wide strip loads stay in bounds
-            pltpu.VMEM((H2 + 2 * D, W2 + 3 * D, C), fmap.dtype),
-            pltpu.VMEM((P2 * D * D, C), fmap.dtype),
+            pltpu.VMEM((H2 + 2 * D, W2a + 3 * D, C), fmap.dtype),
+            pltpu.VMEM((P2 * W, C), fmap.dtype),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(jjk[None], cy, cx, f1, w00, w01, w10, w11, fmap)
-    return out
+    )(jjk[None], cy, cx, f1, fmap)
+
+    # 2x2 bilinear reduction across the D x D grid, vectorized over all
+    # edges in XLA (lane dim = W). Shifts along the w = u*D+v axis:
+    # (u, v+1) = roll -1, (u+1, v) = roll -D, (u+1, v+1) = roll -(D+1);
+    # wrapped entries land on masked u/v = D-1 slots.
+    sf = s.astype(jnp.float32)
+    s01 = jnp.roll(sf, -1, axis=-1)
+    s10 = jnp.roll(sf, -D, axis=-1)
+    s11 = jnp.roll(sf, -(D + 1), axis=-1)
+    w00 = ((1 - dyf) * (1 - dxf) * vf)[..., None]
+    w01 = ((1 - dyf) * dxf * vf)[..., None]
+    w10 = (dyf * (1 - dxf) * vf)[..., None]
+    w11 = (dyf * dxf * vf)[..., None]
+    o = w00 * sf + w01 * s01 + w10 * s10 + w11 * s11
+    lane = jnp.arange(W)
+    keep = ((lane % D < D - 1) & (lane // D < D - 1)).astype(o.dtype)
+    return (o * keep).astype(jnp.bfloat16)
 
 
 @partial(jax.jit, static_argnames=("radius", "interpret"))
@@ -182,7 +190,6 @@ def corr_features_pallas(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
     E = coords.shape[0]
     Np, C, P, _ = gmap.shape
     P2 = P * P
-    D = 2 * radius + 2
 
     Ep = -(-E // EB) * EB
     padE = Ep - E

@@ -27,8 +27,8 @@ class VOState(NamedTuple):
     # --- circular feature memories (ref dpvo.py:102-115) ---
     imap: jnp.ndarray        # [pmem*M, DIM]        patch context
     gmap: jnp.ndarray        # [pmem*M, FDIM, P, P] patch matching features
-    fmap1: jnp.ndarray       # [mem, FDIM, h, w]    frame features, 1x
-    fmap2: jnp.ndarray       # [mem, FDIM, h/4, w/4] frame features, 4x
+    fmap1: jnp.ndarray       # [mem, h, w, FDIM]    frame features, 1x (NHWC)
+    fmap2: jnp.ndarray       # [mem, h/4, w/4, FDIM] frame features, 4x (NHWC)
 
     # --- active edge payloads (ref patchgraph.py:49-54) ---
     net: jnp.ndarray         # [E_MAX, DIM] update-operator hidden state
@@ -56,8 +56,8 @@ def make_state(cfg: Config, ht: int, wd: int) -> VOState:
         points=jnp.zeros((N * M, 3), jnp.float32),
         imap=jnp.zeros((pmem * M, cfg.DIM), fdt),
         gmap=jnp.zeros((pmem * M, cfg.FDIM, P, P), fdt),
-        fmap1=jnp.zeros((cfg.MEM, cfg.FDIM, h, w), fdt),
-        fmap2=jnp.zeros((cfg.MEM, cfg.FDIM, h // 4, w // 4), fdt),
+        fmap1=jnp.zeros((cfg.MEM, h, w, cfg.FDIM), fdt),
+        fmap2=jnp.zeros((cfg.MEM, h // 4, w // 4, cfg.FDIM), fdt),
         net=jnp.zeros((cfg.E_MAX, cfg.DIM), fdt),
         target=jnp.zeros((cfg.E_MAX, 2), jnp.float32),
         weight=jnp.zeros((cfg.E_MAX, 2), jnp.float32),

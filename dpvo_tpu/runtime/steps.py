@@ -20,7 +20,9 @@ from dpvo_tpu.config import Config
 from dpvo_tpu.geom import projective as pops
 from dpvo_tpu.lie import se3
 from dpvo_tpu.models import Patchifier, Update
-from dpvo_tpu.ops import avg_pool2d, corr_stack
+from dpvo_tpu.ops import avg_pool2d_nhwc
+from dpvo_tpu.ops.corr import corr_features_xla
+from dpvo_tpu.ops.corr_pallas import corr_features_pallas
 from dpvo_tpu.runtime.state import VOState
 
 
@@ -33,6 +35,10 @@ class StepFunctions:
         self.patchifier = Patchifier(patch_size=cfg.P, dim=cfg.DIM, fdim=cfg.FDIM, dtype=fdt)
         self.update_op = Update(dim=cfg.DIM, p=cfg.P, dtype=fdt)
         self.pmem = cfg.MAX_EDGE_AGE if cfg.LOOP_CLOSURE else cfg.PMEM
+        impl = cfg.CORR_IMPL
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.corr_impl = impl
 
         self.patchify = jax.jit(self._patchify)
         self.ingest = jax.jit(self._ingest, donate_argnums=(0,))
@@ -61,8 +67,8 @@ class StepFunctions:
         )
         # BGR color convention + [0,255] (ref dpvo.py:937)
         clr = (clr[:, ::-1] + 0.5) * (255.0 / 2)
-        fmap_chw = fmap[0].transpose(2, 0, 1).astype(self.fdt)  # [fdim,h,w]
-        return fmap_chw, gmap_p.astype(self.fdt), imap_p.astype(self.fdt), patches, clr
+        fmap_hwc = fmap[0].astype(self.fdt)  # [h,w,fdim] NHWC native
+        return fmap_hwc, gmap_p.astype(self.fdt), imap_p.astype(self.fdt), patches, clr
 
     def _ingest(
         self, state: VOState, n, fmap, gmap_p, imap_p, patches, clr, intrinsics,
@@ -100,7 +106,7 @@ class StepFunctions:
         imap = jax.lax.dynamic_update_slice(state.imap, imap_p, (slot_p, 0))
         gmap = jax.lax.dynamic_update_slice(state.gmap, gmap_p, (slot_p, 0, 0, 0))
         fmap1 = state.fmap1.at[n % cfg.MEM].set(fmap)
-        fmap2 = state.fmap2.at[n % cfg.MEM].set(avg_pool2d(fmap, 4))
+        fmap2 = state.fmap2.at[n % cfg.MEM].set(avg_pool2d_nhwc(fmap, 4))
 
         return state._replace(
             poses=poses, patches=patches_all, intrinsics=intr, colors=colors,
@@ -117,11 +123,12 @@ class StepFunctions:
         coords = pops.transform(
             state.poses, state.patches, state.intrinsics, es["ii"], es["jj"], es["kk"]
         )  # [E,P,P,2]
-        impl = "gather" if cfg.CORR_IMPL == "xla" else "region"
-        corr = corr_stack(
-            state.gmap, (state.fmap1, state.fmap2), coords.astype(jnp.float32),
-            es["ii1"], es["jj1"], radius=cfg.CORR_RADIUS, chunk=4096, impl=impl,
-        ).astype(self.fdt)
+        corr_fn = corr_features_pallas if self.corr_impl == "pallas" else corr_features_xla
+        E = coords.shape[0]
+        corr = corr_fn(
+            state.gmap, state.fmap1, state.fmap2, coords.astype(jnp.float32),
+            es["ii1"], es["jj1"], es["valid"], radius=cfg.CORR_RADIUS,
+        ).reshape(E, -1).astype(self.fdt)
         ctx = state.imap[es["ii1"]]
         net, delta, weight = self.update_op.apply(
             params["update"], net, ctx, corr,

@@ -33,7 +33,7 @@ def init_params(cfg: Config, key, ht: int = 64, wd: int = 96) -> Dict:
     z = jnp.zeros((E, D), fdt)
     idx = jnp.zeros((E,), jnp.int32)
     msk = jnp.ones((E,), bool)
-    corr = jnp.zeros((E, 2 * 49 * cfg.P * cfg.P), fdt)
+    corr = jnp.zeros((E, cfg.CORR_WIDTH), fdt)
     p_up = up.init(ku, z, z, corr, idx, idx, msk, msk, idx, idx, msk, num_segments=E)
     return {"patchifier": p_pf, "update": p_up}
 

@@ -159,3 +159,34 @@ def test_region_corr_image_border():
     a = sparse_corr(gmap, fmap, coords, ii1, jj1, radius=3)
     b = sparse_corr_region(gmap, fmap, coords, ii1, jj1, radius=3)
     assert np.allclose(a, b, atol=2e-3), np.abs(np.asarray(a) - np.asarray(b)).max()
+
+
+def test_corr_features_pallas_matches_xla_interpret():
+    """The Pallas kernel (interpret mode on CPU) must match the
+    differentiable XLA path in the canonical feature layout."""
+    import numpy as np
+
+    from dpvo_tpu.ops import corr_features_xla
+    from dpvo_tpu.ops.corr_pallas import corr_features_pallas
+
+    rng = np.random.default_rng(3)
+    Np, C, P = 24, 128, 3
+    mem, H2, W2 = 4, 24, 32
+    E = 37
+    gmap = jnp.asarray(rng.standard_normal((Np, C, P, P)), jnp.bfloat16)
+    fmap1 = jnp.asarray(rng.standard_normal((mem, H2, W2, C)), jnp.bfloat16)
+    fmap2 = jnp.asarray(rng.standard_normal((mem, H2 // 4, W2 // 4, C)), jnp.bfloat16)
+    base = rng.uniform(-6, 36, (E, 1, 1, 2))
+    grid = np.stack(np.meshgrid(np.arange(-1, 2), np.arange(-1, 2), indexing="ij"), -1)
+    coords = jnp.asarray(base + grid[None][..., ::-1] + rng.uniform(0, 1, (E, 1, 1, 2)),
+                         jnp.float32)
+    ii1 = jnp.asarray(rng.integers(0, Np, E), jnp.int32)
+    jj1 = jnp.asarray(rng.integers(0, mem, E), jnp.int32)
+    valid = jnp.asarray(rng.uniform(size=E) > 0.2)
+
+    want = np.asarray(corr_features_xla(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
+                                        impl="gather"), np.float32)
+    got = np.asarray(corr_features_pallas(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
+                                          interpret=True), np.float32)
+    assert got.shape == want.shape == (E, 9, 128)
+    np.testing.assert_allclose(got, want, atol=0.5, rtol=0.06)

@@ -62,7 +62,7 @@ def make_update_inputs(key, E=32, D=64, P=3):
     ks = jax.random.split(key, 8)
     net = jax.random.normal(ks[0], (E, D))
     inp = jax.random.normal(ks[1], (E, D))
-    corr = jax.random.normal(ks[2], (E, 2 * 49 * P * P))
+    corr = jax.random.normal(ks[2], (E, 2 * 64 * P * P))
     ix = jax.random.randint(ks[3], (E,), 0, E)
     jx = jax.random.randint(ks[4], (E,), 0, E)
     mask = jnp.ones((E,), bool)
