@@ -103,10 +103,6 @@ class DPVO:
                 f"Buffer size {cfg.BUFFER_SIZE} too small; increase BUFFER_SIZE"
             )
 
-        fmap, gmap_p, imap_p, patches, clr = self.steps.patchify(
-            self.params, jnp.asarray(image), self._next_key()
-        )
-
         self.tlist.append(float(tstamp))
         if len(self.tstamps) == self.n:
             self.tstamps.append(self.counter)
@@ -116,13 +112,28 @@ class DPVO:
         # motion factor handles varying camera hz (ref dpvo.py:948-950)
         *_, a, b, c = [1.0] * 3 + self.tlist
         fac = (c - b) / (b - a) if b != a else 1.0
+        self.counter += 1
 
+        run_gba = cfg.LOOP_CLOSURE and (
+            self.n + 1 - self.last_global_ba >= cfg.GLOBAL_OPT_FREQ
+            or (self.topo.ii < self.n + 1 - cfg.REMOVAL_WINDOW - 1).any()
+        )
+        if (
+            self.is_initialized
+            and self.oracle is None
+            and not run_gba
+        ):
+            self._fused_frame(image, intrinsics, fac)
+            return
+
+        fmap, gmap_p, imap_p, patches, clr = self.steps.patchify(
+            self.params, jnp.asarray(image), self._next_key()
+        )
         self.state = self.steps.ingest(
             self.state, jnp.int32(self.n), fmap, gmap_p, imap_p, patches, clr,
             jnp.asarray(intrinsics, jnp.float32), jnp.float32(fac),
             jnp.bool_(self.is_initialized), jnp.bool_(self.n > 1), self._next_key(),
         )
-        self.counter += 1
 
         if self.n > 0 and not self.is_initialized:
             if float(self._motion_probe()) < 2.0:
@@ -153,7 +164,52 @@ class DPVO:
             self.update()
             self.keyframe()
 
-    def _append(self, kk, jj):
+    def _fused_frame(self, image, intrinsics, fac):
+        """Steady-state frame: one device program for patchify + ingest
+        + update + keyframe flow magnitude, one packed topology upload,
+        one scalar fetch (see StepFunctions._frame_step)."""
+        cfg = self.cfg
+        M = cfg.PATCHES_PER_FRAME
+        self.topo.add_frame()
+
+        kk_f, jj_f = self.topo.edges_forw()
+        kk_b, jj_b = self.topo.edges_back()
+        start, count = self._append(
+            np.concatenate([kk_f, kk_b]), np.concatenate([jj_f, jj_b]), defer_zero=True
+        )
+
+        es = self.topo.edge_set()
+        packed = self.steps.pack_edge_set(es)
+        t0 = max(self.n - cfg.OPTIMIZATION_WINDOW, 1)
+        nfree = max(self.n - t0, 0)
+        assert nfree <= cfg.W_OPT_MAX, (nfree, cfg.W_OPT_MAX)
+
+        i_kf = self.n - cfg.KEYFRAME_INDEX - 1
+        j_kf = self.n - cfg.KEYFRAME_INDEX + 1
+        meta = np.zeros(16 + 2 * M, np.float32)
+        meta[0] = self.n
+        meta[1] = fac
+        meta[2] = 1.0 if self.n > 1 else 0.0
+        meta[4] = start
+        meta[5] = count
+        meta[6] = t0
+        meta[7] = nfree
+        meta[8] = i_kf
+        meta[9] = j_kf
+        for off, (a, b) in ((0, (i_kf, j_kf)), (M, (j_kf, i_kf))):
+            sel = (self.topo.ii == a) & (self.topo.jj == b)
+            kk = self.topo.kk[sel][:M]
+            meta[10 + off // M] = len(kk)
+            meta[16 + off:16 + off + len(kk)] = kk
+        meta[12:16] = intrinsics
+
+        self.state, mag = self.steps.frame_step(
+            self.params, self.state, jnp.asarray(image), jnp.asarray(packed),
+            jnp.asarray(meta), self._next_key(),
+        )
+        self._keyframe_decide(float(mag))
+
+    def _append(self, kk, jj, defer_zero: bool = False):
         overflow = len(self.topo.ii) + len(kk) - self.cfg.E_MAX
         if overflow > 0:
             # degrade gracefully: retire the oldest active edges into the
@@ -164,7 +220,9 @@ class DPVO:
             rm[:overflow] = True
             self.state = self._remove_store(rm)
         start, count = self.topo.append(kk, jj)
-        self.state = self.steps.zero_edges(self.state, jnp.int32(start), jnp.int32(count))
+        if not defer_zero:
+            self.state = self.steps.zero_edges(self.state, jnp.int32(start), jnp.int32(count))
+        return start, count
 
     def _motion_probe(self) -> float:
         """Median predicted flow of last-frame patches against the new
@@ -245,9 +303,14 @@ class DPVO:
         cfg = self.cfg
         i = self.n - cfg.KEYFRAME_INDEX - 1
         j = self.n - cfg.KEYFRAME_INDEX + 1
-        m = self._motionmag(i, j) + self._motionmag(j, i)
+        m = (self._motionmag(i, j) + self._motionmag(j, i)) / 2
+        self._keyframe_decide(m)
 
-        if m / 2 < cfg.KEYFRAME_THRESH:
+    def _keyframe_decide(self, m: float):
+        """Apply keyframe culling + edge retirement given the mean flow
+        magnitude between the probe frames (ref dpvo.py:601-693)."""
+        cfg = self.cfg
+        if m < cfg.KEYFRAME_THRESH:
             k = self.n - cfg.KEYFRAME_INDEX
             # relative-pose chain for the removed frame (ref :627-631)
             poses = np.asarray(self.state.poses[k - 1 : k + 1])

@@ -54,6 +54,38 @@ class StepFunctions:
         self.global_ba = jax.jit(self._global_ba, donate_argnums=(1,))
         self.normalize = jax.jit(self._normalize, donate_argnums=(0,))
         self.point_cloud = jax.jit(self._point_cloud)
+        self.frame_step = jax.jit(self._frame_step, donate_argnums=(1,))
+
+    # ---------------- packed per-frame args ----------------
+    #
+    # Host -> device transfers through the tunnel cost ~4-5 ms of
+    # LATENCY each regardless of size; the per-frame edge topology is
+    # therefore shipped as ONE int32 matrix + ONE f32 meta vector
+    # instead of ~14 separate arrays (was ~62 ms/frame of upload).
+
+    ES_ROWS = ("ii", "jj", "kk", "ii1", "jj1", "kk_seg", "ij_seg",
+               "ix", "jx", "mask_ix", "mask_jx", "valid")
+
+    def pack_edge_set(self, es) -> "np.ndarray":
+        import numpy as np
+
+        cfg = self.cfg
+        pad = es.ii.shape[0]
+        out = np.zeros((13, pad), np.int32)
+        for r, name in enumerate(self.ES_ROWS):
+            out[r, :] = getattr(es, name)
+        out[12, : cfg.M_OPT_MAX] = es.dense2patch
+        return out
+
+    def unpack_edge_set(self, packed) -> Dict[str, Any]:
+        cfg = self.cfg
+        es = {name: packed[r] for r, name in enumerate(self.ES_ROWS)}
+        es["mask_ix"] = es["mask_ix"].astype(bool)
+        es["mask_jx"] = es["mask_jx"].astype(bool)
+        es["valid"] = es["valid"].astype(bool)
+        es["kd"] = es["kk_seg"]
+        es["dense2patch"] = packed[12, : cfg.M_OPT_MAX]
+        return es
 
     # ---------------- frame ingestion ----------------
 
@@ -112,6 +144,57 @@ class StepFunctions:
             poses=poses, patches=patches_all, intrinsics=intr, colors=colors,
             imap=imap, gmap=gmap, fmap1=fmap1, fmap2=fmap2,
         )
+
+    # ---------------- fused steady-state frame step ----------------
+
+    def _frame_step(self, params, state: VOState, image_u8, es_packed, meta, key):
+        """One tracked frame in a single device program: patchify ->
+        ingest -> zero fresh edges -> update operator + sliding-window
+        BA -> keyframe flow magnitude. Fuses what the reference does in
+        ~6 kernel launches + host syncs (dpvo.py:905-1025) to amortize
+        the per-call transfer latency of the host<->device tunnel.
+
+        meta (f32): [0]=n [1]=motion_fac [2]=do_motion [4]=start
+        [5]=count [6]=t0 [7]=nfree [8]=i_kf [9]=j_kf [10]=npair_ij
+        [11]=npair_ji [12:16]=intrinsics; [16:16+M] kk of edges (i->j);
+        [16+M:16+2M] kk of edges (j->i).
+
+        Returns (state', keyframe motion magnitude scalar).
+        """
+        cfg = self.cfg
+        M = cfg.PATCHES_PER_FRAME
+        n = meta[0].astype(jnp.int32)
+        intr = meta[12:16]
+
+        k_pf, k_d = jax.random.split(key)
+        fmap, gmap_p, imap_p, patches, clr = self._patchify(params, image_u8, k_pf)
+        state = self._ingest(
+            state, n, fmap, gmap_p, imap_p, patches, clr, intr,
+            meta[1], jnp.bool_(True), meta[2] > 0, k_d,
+        )
+        state = self._zero_edges(
+            state, meta[4].astype(jnp.int32), meta[5].astype(jnp.int32)
+        )
+        es = self.unpack_edge_set(es_packed)
+        state = self._update(
+            params, state, es, meta[6].astype(jnp.int32), meta[7].astype(jnp.int32)
+        )
+
+        # keyframe decision input (ref dpvo.py:601-612): mean flow
+        # magnitude between frames (i, j) in both directions
+        def pair_mag(i, j, kk, npair):
+            ii = jnp.full((M,), i, jnp.int32)
+            jj = jnp.full((M,), j, jnp.int32)
+            val = (jnp.arange(M) < npair).astype(jnp.float32)
+            return self._flowmag_pair(state, ii, jj, kk, val, jnp.float32(0.5))
+
+        i_kf = meta[8].astype(jnp.int32)
+        j_kf = meta[9].astype(jnp.int32)
+        kk1 = meta[16:16 + M].astype(jnp.int32)
+        kk2 = meta[16 + M:16 + 2 * M].astype(jnp.int32)
+        mag = 0.5 * (pair_mag(i_kf, j_kf, kk1, meta[10]) +
+                     pair_mag(j_kf, i_kf, kk2, meta[11]))
+        return state, mag
 
     # ---------------- the hot loop ----------------
 
