@@ -56,6 +56,10 @@ class DPVO:
             self.params = init_params(cfg, jax.random.PRNGKey(seed))
 
         self.is_initialized = False
+        self._pending = None       # deferred device payload maintenance
+        self._identity_ops = np.zeros((3, cfg.E_MAX), np.int32)
+        self._identity_ops[0] = np.arange(cfg.E_MAX)
+        self._framebuf = np.zeros(self.steps._layout[1], np.uint8)
         self.counter = 0           # total frames seen
         self.tlist = []            # wall timestamps per frame
         self.tstamps = []          # counter value per kept keyframe (ref pg.tstamps_)
@@ -90,6 +94,7 @@ class DPVO:
         return k
 
     def poses_np(self, upto: Optional[int] = None) -> np.ndarray:
+        self._flush_pending()
         p = np.asarray(self.state.poses)
         return p[: upto if upto is not None else self.n]
 
@@ -126,6 +131,7 @@ class DPVO:
             self._fused_frame(image, intrinsics, fac)
             return
 
+        self._flush_pending()
         fmap, gmap_p, imap_p, patches, clr = self.steps.patchify(
             self.params, jnp.asarray(image), self._next_key()
         )
@@ -178,15 +184,13 @@ class DPVO:
             np.concatenate([kk_f, kk_b]), np.concatenate([jj_f, jj_b]), defer_zero=True
         )
 
-        es = self.topo.edge_set()
-        packed = self.steps.pack_edge_set(es)
         t0 = max(self.n - cfg.OPTIMIZATION_WINDOW, 1)
         nfree = max(self.n - t0, 0)
         assert nfree <= cfg.W_OPT_MAX, (nfree, cfg.W_OPT_MAX)
 
         i_kf = self.n - cfg.KEYFRAME_INDEX - 1
         j_kf = self.n - cfg.KEYFRAME_INDEX + 1
-        meta = np.zeros(16 + 2 * M, np.float32)
+        meta = np.zeros(24 + 2 * M, np.float32)
         meta[0] = self.n
         meta[1] = fac
         meta[2] = 1.0 if self.n > 1 else 0.0
@@ -200,14 +204,51 @@ class DPVO:
             sel = (self.topo.ii == a) & (self.topo.jj == b)
             kk = self.topo.kk[sel][:M]
             meta[10 + off // M] = len(kk)
-            meta[16 + off:16 + off + len(kk)] = kk
+            meta[24 + off:24 + off + len(kk)] = kk
         meta[12:16] = intrinsics
 
-        self.state, mag = self.steps.frame_step(
-            self.params, self.state, jnp.asarray(image), jnp.asarray(packed),
-            jnp.asarray(meta), self._next_key(),
+        # fold any pending payload maintenance into this call
+        if self._pending is not None:
+            ops, k_cull, n_after, nstore = self._pending
+            self._pending = None
+        else:
+            ops, k_cull, n_after, nstore = self._identity_ops, -1, 0, 0
+        meta[3] = k_cull
+        meta[16] = n_after
+        meta[17] = nstore
+
+        # topology rows, padded to E_MAX (host numpy)
+        topo = self.topo
+        E = cfg.E_MAX
+        Ecur = len(topo.ii)
+        from dpvo_tpu.runtime.topology import neighbors as _neighbors
+
+        ix, jx, hp, hn = _neighbors(topo.kk, topo.jj)
+        d2p = np.full(cfg.M_OPT_MAX, cfg.BUFFER_SIZE * M, np.int64)
+        uniq = np.unique(topo.kk)
+        d2p[: len(uniq)] = uniq
+        pairs = np.full(self.steps.PAIR_MAX, np.int64(1) << 30, np.int64)
+        upair = np.unique(topo.ii * 2048 + topo.jj)
+        pairs[: len(upair)] = upair
+
+        def padE(a, dt):
+            out = np.zeros(E, dt)
+            out[:Ecur] = a
+            return out
+
+        valid = np.zeros(E, np.uint8)
+        valid[:Ecur] = 1
+        buf = self.steps.pack_frame(
+            self._framebuf, image, padE(topo.kk, np.int32), padE(topo.jj, np.uint16),
+            padE(ix, np.uint16), padE(jx, np.uint16), padE(hp, np.uint8),
+            padE(hn, np.uint8), valid, d2p, pairs, meta,
+            ops[0].astype(np.uint16), ops[1].astype(np.uint16), ops[2].astype(np.uint16),
         )
-        self._keyframe_decide(float(mag))
+        self.state, out_small = self.steps.frame_step(
+            self.params, self.state, jnp.asarray(buf), self._next_key(),
+        )
+        out_small = np.asarray(out_small)
+        self._keyframe_decide(float(out_small[0]), pose_pair=out_small[1:].reshape(2, 7))
 
     def _append(self, kk, jj, defer_zero: bool = False):
         overflow = len(self.topo.ii) + len(kk) - self.cfg.E_MAX
@@ -238,6 +279,7 @@ class DPVO:
     def update(self):
         if len(self.topo.ii) == 0:
             return
+        self._flush_pending()
         cfg = self.cfg
         es = self.topo.edge_set()
 
@@ -282,6 +324,7 @@ class DPVO:
     # ---------------- keyframing (ref dpvo.py:601-693) ----------------
 
     def _motionmag(self, i: int, j: int) -> float:
+        self._flush_pending()
         sel = (self.topo.ii == i) & (self.topo.jj == j)
         if not sel.any():
             return 0.0
@@ -306,45 +349,41 @@ class DPVO:
         m = (self._motionmag(i, j) + self._motionmag(j, i)) / 2
         self._keyframe_decide(m)
 
-    def _keyframe_decide(self, m: float):
-        """Apply keyframe culling + edge retirement given the mean flow
-        magnitude between the probe frames (ref dpvo.py:601-693)."""
+    def _keyframe_decide(self, m: float, pose_pair=None):
+        """Record keyframe culling + edge retirement given the mean flow
+        magnitude between the probe frames (ref dpvo.py:601-693).
+
+        Host topology mutates immediately; the device-side payload
+        maintenance (compaction / inactive store / buffer shift) is
+        DEFERRED into the next fused frame step (or an explicit flush)
+        so the steady-state path stays one device call per frame.
+        ``pose_pair`` [2,7] = poses[k-1:k+1] prefetched by the fused
+        step; fetched here otherwise.
+        """
         cfg = self.cfg
+        assert self._pending is None
+        k_cull, n_after = -1, 0
+        perm_total = None
+        src_old = np.zeros(0, np.int64)
+        dst = np.zeros(0, np.int64)
+
         if m < cfg.KEYFRAME_THRESH:
             k = self.n - cfg.KEYFRAME_INDEX
-            # relative-pose chain for the removed frame (ref :627-631)
-            poses = np.asarray(self.state.poses[k - 1 : k + 1])
+            # relative-pose chain for the removed frame (ref :627-631);
+            # rows k-1,k are untouched by the (pending) shift
+            if pose_pair is None:
+                pose_pair = np.asarray(self.state.poses[k - 1 : k + 1])
+            poses = pose_pair
             dP = np.asarray(se3.mul(jnp.asarray(poses[1]), se3.inv(jnp.asarray(poses[0]))))
             t0c, t1c = self.tstamps[k - 1], self.tstamps[k]
             self.delta[t1c] = (t0c, dP)
 
-            # drop edges touching frame k (no store)
+            # drop edges touching frame k (no store, ref :643-656)
             rm = (self.topo.ii == k) | (self.topo.jj == k)
-            perm, _, _ = self.topo.remove(rm, store=False)
-            self.state = self.steps.compact_edges(
-                self.state, jnp.asarray(perm), jnp.int32(0), jnp.int32(0)
-            )
+            perm_total, _, _ = self.topo.remove(rm, store=False)
             self.topo.shift_frame(k)
             del self.tstamps[k]
-
-            # shift frame-indexed buffers (ref :658-670)
-            N = cfg.BUFFER_SIZE
-            M = cfg.PATCHES_PER_FRAME
-            n_after = self.n  # already decremented
-            frame_perm = np.arange(N)
-            frame_perm[k : n_after + 1] = np.arange(k + 1, n_after + 2)
-            patch_perm = (frame_perm[:, None] * M + np.arange(M)[None, :]).reshape(-1)
-            pmem = self.steps.pmem
-            pmem_perm = np.arange(pmem)
-            for f in range(k, n_after + 1):
-                pmem_perm[f % pmem] = (f + 1) % pmem
-            mem_perm = np.arange(cfg.MEM)
-            for f in range(k, n_after + 1):
-                mem_perm[f % cfg.MEM] = (f + 1) % cfg.MEM
-            self.state = self.steps.keyframe_shift(
-                self.state, jnp.asarray(frame_perm), jnp.asarray(patch_perm),
-                jnp.asarray(pmem_perm), jnp.asarray(mem_perm),
-            )
+            k_cull, n_after = k, self.n
 
         # retire edges whose patches fell out of the optimization window
         to_remove = (self.topo.kk // cfg.PATCHES_PER_FRAME) < self.n - cfg.REMOVAL_WINDOW
@@ -354,9 +393,36 @@ class DPVO:
             )
             to_remove = to_remove & ~lc
         if to_remove.any():
-            self.state = self._remove_store(to_remove)
+            perm2, src2, dst2 = self.topo.remove(to_remove, store=True)
+            if perm_total is None:
+                perm_total, src_old = perm2, src2
+            else:
+                src_old = perm_total[src2]
+                perm_total = perm_total[perm2]
+            dst = dst2
+
+        if k_cull < 0 and perm_total is None:
+            return
+        ops = np.zeros((3, cfg.E_MAX), np.int32)
+        ops[0] = np.arange(cfg.E_MAX) if perm_total is None else perm_total
+        ops[1, : len(src_old)] = src_old
+        ops[2, : len(dst)] = dst
+        self._pending = (ops, k_cull, n_after, len(src_old))
+
+    def _flush_pending(self):
+        """Apply deferred payload maintenance as a standalone call (used
+        whenever device state is read/updated outside the fused step)."""
+        if self._pending is None:
+            return
+        ops, k_cull, n_after, nstore = self._pending
+        self._pending = None
+        self.state = self.steps.maintenance(
+            self.state, jnp.asarray(ops[0]), jnp.asarray(ops[1]), jnp.asarray(ops[2]),
+            jnp.int32(k_cull), jnp.int32(n_after), jnp.int32(nstore),
+        )
 
     def _remove_store(self, mask) -> VOState:
+        self._flush_pending()
         perm, src, dst = self.topo.remove(mask, store=True)
         state = self.state
         if len(src) > 0:
@@ -380,6 +446,7 @@ class DPVO:
         return out
 
     def terminate(self) -> Tuple[np.ndarray, np.ndarray]:
+        self._flush_pending()
         if self.cfg.LOOP_CLOSURE:
             from dpvo_tpu.slam.proximity import edges_loop
 
@@ -403,6 +470,7 @@ class DPVO:
 
     def point_cloud(self) -> Tuple[np.ndarray, np.ndarray]:
         """World points + colors for export (PLY/COLMAP)."""
+        self._flush_pending()
         pts = np.asarray(self.steps.point_cloud(self.state, jnp.int32(self.m)))[: self.m]
         clr = np.asarray(self.state.colors).reshape(-1, 3)[: self.m]
         return pts, clr

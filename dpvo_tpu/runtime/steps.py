@@ -55,37 +55,126 @@ class StepFunctions:
         self.normalize = jax.jit(self._normalize, donate_argnums=(0,))
         self.point_cloud = jax.jit(self._point_cloud)
         self.frame_step = jax.jit(self._frame_step, donate_argnums=(1,))
+        self.maintenance = jax.jit(self._maintenance, donate_argnums=(0,))
+        self._layout = self._frame_layout()
 
-    # ---------------- packed per-frame args ----------------
+    # ---------------- packed per-frame payload ----------------
     #
-    # Host -> device transfers through the tunnel cost ~4-5 ms of
-    # LATENCY each regardless of size; the per-frame edge topology is
-    # therefore shipped as ONE int32 matrix + ONE f32 meta vector
-    # instead of ~14 separate arrays (was ~62 ms/frame of upload).
+    # Host -> device transfers through the tunnel cost milliseconds of
+    # LATENCY each regardless of size (and the link degrades under
+    # load), so the ENTIRE per-frame payload — image, edge topology,
+    # maintenance ops, scalars — ships as ONE uint8 buffer. Index rows
+    # derivable from kk/jj (ii, circular slots, segment ids) are
+    # recomputed on device; u16/u8 narrow dtypes halve the rest.
 
-    ES_ROWS = ("ii", "jj", "kk", "ii1", "jj1", "kk_seg", "ij_seg",
-               "ix", "jx", "mask_ix", "mask_jx", "valid")
+    PAIR_MAX = 1024  # distinct (ii, jj) pairs in the active window
 
-    def pack_edge_set(self, es) -> "np.ndarray":
+    def _frame_layout(self):
         import numpy as np
 
         cfg = self.cfg
-        pad = es.ii.shape[0]
-        out = np.zeros((13, pad), np.int32)
-        for r, name in enumerate(self.ES_ROWS):
-            out[r, :] = getattr(es, name)
-        out[12, : cfg.M_OPT_MAX] = es.dense2patch
-        return out
+        E = cfg.E_MAX
+        M = cfg.PATCHES_PER_FRAME
+        img_bytes = self.ht * self.wd * 3
+        meta_len = 24 + 2 * M
+        sections = [
+            ("image", img_bytes, np.uint8),
+            ("kk", 4 * E, np.int32),
+            ("jj", 2 * E, np.uint16),
+            ("ix", 2 * E, np.uint16),
+            ("jx", 2 * E, np.uint16),
+            ("flags", E, np.uint8),     # bit0 mask_ix, bit1 mask_jx, bit2 valid
+            ("d2p", 4 * cfg.M_OPT_MAX, np.int32),
+            ("pairs", 4 * self.PAIR_MAX, np.int32),
+            ("meta", 4 * meta_len, np.float32),
+            ("perm", 2 * E, np.uint16),
+            ("src", 2 * E, np.uint16),
+            ("dst", 2 * E, np.uint16),
+        ]
+        layout = {}
+        off = 0
+        for name, nbytes, dt in sections:
+            off = -(-off // 4) * 4  # 4-byte align every section
+            layout[name] = (off, nbytes, dt)
+            off += nbytes
+        return layout, off
 
-    def unpack_edge_set(self, packed) -> Dict[str, Any]:
+    def pack_frame(self, buf, image, kk, jj, ix, jx, mask_ix, mask_jx, valid,
+                   d2p, pairs, meta, perm, src, dst):
+        """Fill the preallocated uint8 frame buffer (host side)."""
+        import numpy as np
+
+        layout, _ = self._layout
+        def put(name, arr):
+            off, nbytes, dt = layout[name]
+            view = buf[off:off + nbytes].view(dt)
+            a = np.asarray(arr, dt).ravel()
+            view[: a.size] = a
+            if a.size < view.size:
+                view[a.size:] = 0
+
+        put("image", image.ravel())
+        put("kk", kk)
+        put("jj", jj)
+        put("ix", ix)
+        put("jx", jx)
+        flags = (np.asarray(mask_ix, np.uint8)
+                 | (np.asarray(mask_jx, np.uint8) << 1)
+                 | (np.asarray(valid, np.uint8) << 2))
+        put("flags", flags)
+        put("d2p", d2p)
+        put("pairs", pairs)
+        put("meta", meta)
+        put("perm", perm)
+        put("src", src)
+        put("dst", dst)
+        return buf
+
+    def unpack_frame(self, buf):
+        """Device-side unpack of the frame buffer -> (image, es, meta,
+        ops). Derives ii / circular slots / segment ids from kk, jj."""
         cfg = self.cfg
-        es = {name: packed[r] for r, name in enumerate(self.ES_ROWS)}
-        es["mask_ix"] = es["mask_ix"].astype(bool)
-        es["mask_jx"] = es["mask_jx"].astype(bool)
-        es["valid"] = es["valid"].astype(bool)
+        M = cfg.PATCHES_PER_FRAME
+        layout, _ = self._layout
+
+        def get(name, jdt, width):
+            off, nbytes, _ = layout[name]
+            raw = jax.lax.dynamic_slice(buf, (off,), (nbytes,))
+            if width == 1:
+                return raw
+            return jax.lax.bitcast_convert_type(raw.reshape(-1, width), jdt)
+
+        image = get("image", jnp.uint8, 1).reshape(self.ht, self.wd, 3)
+        kk = get("kk", jnp.int32, 4)
+        jj = get("jj", jnp.uint16, 2).astype(jnp.int32)
+        ix = get("ix", jnp.uint16, 2).astype(jnp.int32)
+        jx = get("jx", jnp.uint16, 2).astype(jnp.int32)
+        flags = get("flags", jnp.uint8, 1)
+        d2p = get("d2p", jnp.int32, 4)[: cfg.M_OPT_MAX]
+        pairs = get("pairs", jnp.int32, 4)[: self.PAIR_MAX]
+        meta = get("meta", jnp.float32, 4)[: 24 + 2 * M]
+        perm = get("perm", jnp.uint16, 2).astype(jnp.int32)
+        src = get("src", jnp.uint16, 2).astype(jnp.int32)
+        dst = get("dst", jnp.uint16, 2).astype(jnp.int32)
+
+        ii = kk // M
+        es = dict(
+            ii=ii,
+            jj=jj,
+            kk=kk,
+            ii1=kk % (M * self.pmem),
+            jj1=jj % cfg.MEM,
+            kk_seg=jnp.searchsorted(d2p, kk).astype(jnp.int32),
+            ij_seg=jnp.searchsorted(pairs, ii * 2048 + jj).astype(jnp.int32),
+            ix=ix,
+            jx=jx,
+            mask_ix=(flags & 1) > 0,
+            mask_jx=(flags & 2) > 0,
+            valid=(flags & 4) > 0,
+        )
         es["kd"] = es["kk_seg"]
-        es["dense2patch"] = packed[12, : cfg.M_OPT_MAX]
-        return es
+        es["dense2patch"] = d2p
+        return image, es, meta, (perm, src, dst)
 
     # ---------------- frame ingestion ----------------
 
@@ -145,26 +234,92 @@ class StepFunctions:
             imap=imap, gmap=gmap, fmap1=fmap1, fmap2=fmap2,
         )
 
-    # ---------------- fused steady-state frame step ----------------
+    # ---------------- deferred keyframe / retirement maintenance ----
 
-    def _frame_step(self, params, state: VOState, image_u8, es_packed, meta, key):
-        """One tracked frame in a single device program: patchify ->
-        ingest -> zero fresh edges -> update operator + sliding-window
-        BA -> keyframe flow magnitude. Fuses what the reference does in
-        ~6 kernel launches + host syncs (dpvo.py:905-1025) to amortize
-        the per-call transfer latency of the host<->device tunnel.
+    def _maintenance(self, state: VOState, perm, src, dst, k, n_after, nstore):
+        """Apply pending edge retirement + keyframe cull in one program.
 
-        meta (f32): [0]=n [1]=motion_fac [2]=do_motion [4]=start
-        [5]=count [6]=t0 [7]=nfree [8]=i_kf [9]=j_kf [10]=npair_ij
-        [11]=npair_ji [12:16]=intrinsics; [16:16+M] kk of edges (i->j);
-        [16+M:16+2M] kk of edges (j->i).
-
-        Returns (state', keyframe motion magnitude scalar).
+        perm [E_MAX] composed edge-payload compaction; src/dst [E_MAX]
+        inactive-store copy (first nstore entries); k = deleted keyframe
+        (or -1). The frame-indexed buffer permutations are derived from
+        k on device (they are pure functions of (k, n_after)) so the
+        host ships only scalars (ref dpvo.py:523-568, :601-693).
         """
         cfg = self.cfg
         M = cfg.PATCHES_PER_FRAME
+
+        # inactive store first: reads pre-compaction rows (ref :537-553)
+        ksl = jnp.arange(src.shape[0])
+        ok = ksl < nstore
+        dst_safe = jnp.where(ok, dst, cfg.E_INAC_MAX)
+        ti = state.target_inac.at[dst_safe].set(state.target[src], mode="drop")
+        wi = state.weight_inac.at[dst_safe].set(state.weight[src], mode="drop")
+
+        net = state.net[perm]
+        target = state.target[perm]
+        weight = state.weight[perm]
+        state = state._replace(
+            net=net, target=target, weight=weight, target_inac=ti, weight_inac=wi
+        )
+
+        def shift(state):
+            N = state.poses.shape[0]
+            idx = jnp.arange(N)
+            frame_perm = jnp.where((idx >= k) & (idx <= n_after), idx + 1, idx)
+            patch_perm = (frame_perm[:, None] * M + jnp.arange(M)).reshape(-1)
+            span = cfg.KEYFRAME_INDEX + 4  # static bound on n_after - k + 1
+            f = k + jnp.arange(span)
+            fok = f <= n_after
+            pmem_perm = jnp.arange(self.pmem).at[
+                jnp.where(fok, f % self.pmem, self.pmem)
+            ].set((f + 1) % self.pmem, mode="drop")
+            mem_perm = jnp.arange(cfg.MEM).at[
+                jnp.where(fok, f % cfg.MEM, cfg.MEM)
+            ].set((f + 1) % cfg.MEM, mode="drop")
+            pslots = (pmem_perm[:, None] * M + jnp.arange(M)[None, :]).reshape(-1)
+            return state._replace(
+                poses=state.poses[frame_perm],
+                patches=state.patches[patch_perm],
+                intrinsics=state.intrinsics[frame_perm],
+                colors=state.colors[frame_perm],
+                imap=state.imap[pslots],
+                gmap=state.gmap[pslots],
+                fmap1=state.fmap1[mem_perm],
+                fmap2=state.fmap2[mem_perm],
+            )
+
+        return jax.lax.cond(k >= 0, shift, lambda s: s, state)
+
+    # ---------------- fused steady-state frame step ----------------
+
+    def _frame_step(self, params, state: VOState, buf, key):
+        """One tracked frame in a single device program: pending
+        keyframe/retirement maintenance -> patchify -> ingest -> zero
+        fresh edges -> update operator + sliding-window BA -> keyframe
+        flow magnitude. Fuses what the reference does in ~8 kernel
+        launches + host syncs (dpvo.py:905-1025); the entire per-frame
+        payload arrives as ONE packed uint8 buffer (see pack_frame).
+
+        meta (f32): [0]=n [1]=motion_fac [2]=do_motion [3]=k_cull(-1)
+        [4]=start [5]=count [6]=t0 [7]=nfree [8]=i_kf [9]=j_kf
+        [10]=npair_ij [11]=npair_ji [12:16]=intrinsics [16]=n_after
+        [17]=nstore; [24:24+M] kk of edges (i->j); [24+M:24+2M] kk of
+        edges (j->i).
+
+        Returns (state', out_small [15] f32 = [kf motion magnitude,
+        poses[i_kf+... k-1], poses[k]] — everything the host needs, in
+        one fetch).
+        """
+        cfg = self.cfg
+        M = cfg.PATCHES_PER_FRAME
+        image_u8, es, meta, (perm, src, dst) = self.unpack_frame(buf)
         n = meta[0].astype(jnp.int32)
         intr = meta[12:16]
+
+        state = self._maintenance(
+            state, perm, src, dst, meta[3].astype(jnp.int32),
+            meta[16].astype(jnp.int32), meta[17].astype(jnp.int32),
+        )
 
         k_pf, k_d = jax.random.split(key)
         fmap, gmap_p, imap_p, patches, clr = self._patchify(params, image_u8, k_pf)
@@ -175,7 +330,6 @@ class StepFunctions:
         state = self._zero_edges(
             state, meta[4].astype(jnp.int32), meta[5].astype(jnp.int32)
         )
-        es = self.unpack_edge_set(es_packed)
         state = self._update(
             params, state, es, meta[6].astype(jnp.int32), meta[7].astype(jnp.int32)
         )
@@ -190,11 +344,18 @@ class StepFunctions:
 
         i_kf = meta[8].astype(jnp.int32)
         j_kf = meta[9].astype(jnp.int32)
-        kk1 = meta[16:16 + M].astype(jnp.int32)
-        kk2 = meta[16 + M:16 + 2 * M].astype(jnp.int32)
+        kk1 = meta[24:24 + M].astype(jnp.int32)
+        kk2 = meta[24 + M:24 + 2 * M].astype(jnp.int32)
         mag = 0.5 * (pair_mag(i_kf, j_kf, kk1, meta[10]) +
                      pair_mag(j_kf, i_kf, kk2, meta[11]))
-        return state, mag
+
+        # prefetch the pose pair the host needs if it culls keyframe
+        # k = i_kf + 1 (dpvo.py _keyframe_decide), bundled with mag so
+        # the host needs exactly one small fetch per frame
+        k_next = i_kf + 1
+        pose_pair = jax.lax.dynamic_slice(state.poses, (k_next - 1, 0), (2, 7))
+        out_small = jnp.concatenate([mag[None], pose_pair.reshape(-1)])
+        return state, out_small
 
     # ---------------- the hot loop ----------------
 

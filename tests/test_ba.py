@@ -127,8 +127,11 @@ def test_ba_invalid_edges_are_ignored():
         jnp.int32(1), jnp.int32(n - 1), bounds, jnp.float32(1e-6),
         W=8, Md=Md, iterations=2, clamp_mode="train",
     )
-    assert np.allclose(poses_a, poses_b, atol=1e-5)
-    assert np.allclose(depths_a, depths_b, atol=1e-5)
+    # atol: the Gram-matrix assembly (B6 = Jw^T Jw on the MXU) changes
+    # f32 summation order when padding rows are added; invalid-edge
+    # leakage would show up at ~1e0, not ~1e-5
+    assert np.allclose(poses_a, poses_b, atol=2e-4)
+    assert np.allclose(depths_a, depths_b, atol=2e-4)
 
 
 def test_ba_differentiable():
@@ -151,3 +154,23 @@ def test_ba_differentiable():
     g = jax.grad(loss)(jnp.zeros_like(target))
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_spd_solve_matches_cholesky_interpret():
+    import numpy as np
+
+    from dpvo_tpu.ba.spd_solve import spd_solve
+
+    rng = np.random.default_rng(5)
+    n = 48
+    A = rng.standard_normal((n, n))
+    S = jnp.asarray(A @ A.T + n * np.eye(n), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    x = np.asarray(spd_solve(S, y, interpret=True))
+    want = np.linalg.solve(np.asarray(S), np.asarray(y))
+    np.testing.assert_allclose(x, want, rtol=2e-3, atol=2e-3)
+
+    # VJP: d/dy of sum(x) equals solve(S, ones)
+    g = jax.grad(lambda yy: jnp.sum(spd_solve(S, yy, interpret=True)))(y)
+    want_g = np.linalg.solve(np.asarray(S).T, np.ones(n))
+    np.testing.assert_allclose(np.asarray(g), want_g, rtol=2e-3, atol=2e-3)
