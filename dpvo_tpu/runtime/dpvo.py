@@ -79,6 +79,17 @@ class DPVO:
 
             self.viewer = Viewer()
 
+        # classic (long-term) loop closure; degrades gracefully when
+        # OpenCV/toolchain are missing (ref dpvo.py:179-185)
+        self.long_term_lc = None
+        if cfg.CLASSIC_LOOP_CLOSURE:
+            try:
+                from dpvo_tpu.slam.long_term import LongTermLoopClosure
+
+                self.long_term_lc = LongTermLoopClosure(cfg, self)
+            except Exception as e:
+                print(f"warning: classic loop closure disabled ({e})")
+
     # ---------------- helpers ----------------
 
     @property
@@ -118,6 +129,15 @@ class DPVO:
         *_, a, b, c = [1.0] * 3 + self.tlist
         fac = (c - b) / (b - a) if b != a else 1.0
         self.counter += 1
+
+        if self.viewer is not None:
+            self.viewer.update_image(image)  # ref dpvo.py:914-915
+            if self.counter % 10 == 0 and self.is_initialized:
+                pts, clr = self.point_cloud()
+                self.viewer.update_state(self.poses_np(), pts, clr)
+
+        if self.long_term_lc is not None:
+            self.long_term_lc(image, self.n)  # ref dpvo.py:908-909
 
         run_gba = cfg.LOOP_CLOSURE and (
             self.n + 1 - self.last_global_ba >= cfg.GLOBAL_OPT_FREQ
@@ -169,6 +189,10 @@ class DPVO:
         elif self.is_initialized:
             self.update()
             self.keyframe()
+
+        if self.long_term_lc is not None and self.is_initialized:
+            self.long_term_lc.attempt_loop_closure(self.n)
+            self.long_term_lc.lc_callback()
 
     def _fused_frame(self, image, intrinsics, fac):
         """Steady-state frame: one device program for patchify + ingest
@@ -249,6 +273,10 @@ class DPVO:
         )
         out_small = np.asarray(out_small)
         self._keyframe_decide(float(out_small[0]), pose_pair=out_small[1:].reshape(2, 7))
+
+        if self.long_term_lc is not None:  # ref dpvo.py:1027-1029
+            self.long_term_lc.attempt_loop_closure(self.n)
+            self.long_term_lc.lc_callback()
 
     def _append(self, kk, jj, defer_zero: bool = False):
         overflow = len(self.topo.ii) + len(kk) - self.cfg.E_MAX
@@ -384,6 +412,8 @@ class DPVO:
             self.topo.shift_frame(k)
             del self.tstamps[k]
             k_cull, n_after = k, self.n
+            if self.long_term_lc is not None:  # ref dpvo.py:675-676
+                self.long_term_lc.keyframe(k)
 
         # retire edges whose patches fell out of the optimization window
         to_remove = (self.topo.kk // cfg.PATCHES_PER_FRAME) < self.n - cfg.REMOVAL_WINDOW
@@ -445,8 +475,27 @@ class DPVO:
         traj[t] = out
         return out
 
+    def apply_pgo_result(self, corrected: np.ndarray):
+        """Rewrite poses [m,8] (Sim3: t, q, s) from a finished PGO and
+        rescale the affected inverse depths (one device call)."""
+        self._flush_pending()
+        m = len(corrected)
+        N = self.cfg.BUFFER_SIZE
+        poses_new = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32), (N, 1))
+        q = corrected[:, 3:7]
+        q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+        poses_new[:m, :3] = corrected[:, :3]
+        poses_new[:m, 3:] = q
+        scales = np.ones(N, np.float32)
+        scales[:m] = corrected[:, 7]
+        self.state = self.steps.apply_pgo(
+            self.state, jnp.asarray(poses_new), jnp.asarray(scales), jnp.int32(m)
+        )
+
     def terminate(self) -> Tuple[np.ndarray, np.ndarray]:
         self._flush_pending()
+        if self.long_term_lc is not None:  # ref dpvo.py:394-395
+            self.long_term_lc.terminate(self.n)
         if self.cfg.LOOP_CLOSURE:
             from dpvo_tpu.slam.proximity import edges_loop
 

@@ -56,6 +56,7 @@ class StepFunctions:
         self.point_cloud = jax.jit(self._point_cloud)
         self.frame_step = jax.jit(self._frame_step, donate_argnums=(1,))
         self.maintenance = jax.jit(self._maintenance, donate_argnums=(0,))
+        self.apply_pgo = jax.jit(self._apply_pgo, donate_argnums=(0,))
         self._layout = self._frame_layout()
 
     # ---------------- packed per-frame payload ----------------
@@ -545,6 +546,21 @@ class StepFunctions:
             ep=cfg.BA_EP, lm=cfg.BA_LM, res_clip=cfg.BA_RESIDUAL_CLIP, clamp_mode="runtime",
         )
         patches = state.patches.at[ges["dense2patch"], 2].set(depths[:, None, None], mode="drop")
+        return state._replace(poses=poses, patches=patches)
+
+    def _apply_pgo(self, state: VOState, poses_new, scales, m) -> VOState:
+        """Apply a Sim(3) PGO result: rewrite poses < m and rescale
+        their patches' inverse depths (ref loop_closure/long_term.py:
+        189-203 lc_callback)."""
+        cfg = self.cfg
+        M = cfg.PATCHES_PER_FRAME
+        N = state.poses.shape[0]
+        mask = jnp.arange(N) < m
+        poses = jnp.where(mask[:, None], poses_new, state.poses)
+        s_frame = jnp.where(mask, scales, 1.0)
+        s_patch = s_frame[jnp.arange(N * M) // M]
+        d = state.patches[:, 2] / s_patch[:, None, None]
+        patches = state.patches.at[:, 2].set(d)
         return state._replace(poses=poses, patches=patches)
 
     # ---------------- outputs ----------------

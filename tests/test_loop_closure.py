@@ -1,0 +1,114 @@
+"""Classic loop-closure components: native retrieval core, RANSAC
+Sim(3), PGO application (ref dpvo/loop_closure/*)."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+def textured_image(rng, shift=0):
+    base = (rng.uniform(0, 255, (280, 360, 3))).astype(np.uint8)
+    base = cv2.GaussianBlur(base, (5, 5), 1.2)
+    big = cv2.resize(base, (720, 560), interpolation=cv2.INTER_CUBIC)
+    M = np.float32([[1, 0, shift], [0, 1, 0]])
+    return cv2.warpAffine(big, M, (640, 480))
+
+
+def test_retrieval_query_and_loop_detection():
+    from dpvo_tpu.slam.retrieval import OrbRetrieval
+
+    rng = np.random.default_rng(0)
+    r = OrbRetrieval(thresh=0.02, window=2)
+    scene_a = textured_image(rng)
+    # frames 0-2: scene A; 3-59: distinct scenes; 60+: scene A again
+    for k in range(3):
+        r.insert_image(textured_image(np.random.default_rng(0), shift=k))
+    for k in range(3, 60):
+        r.insert_image(textured_image(np.random.default_rng(100 + k)))
+    hit = None
+    for k in range(60, 64):
+        r.insert_image(textured_image(np.random.default_rng(0), shift=k - 60))
+        got = r.detect_loop(r.n_frames() - 1)
+        if got is not None:
+            hit = got
+    assert hit is not None, "revisited scene not detected"
+    q, j = hit
+    assert q >= 60 and j <= 2
+
+    # matching between the two views of scene A
+    pa, pb, ia, ib = r.match(60, 0)
+    assert len(pa) > 50
+    # matched keypoints should differ by the known shift (~0 here)
+    err = np.abs((pa - pb)).mean()
+    assert err < 3.0
+
+
+def test_retrieval_native_matches_numpy():
+    from dpvo_tpu.slam import retrieval as R
+
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 256, (40, 32), dtype=np.uint8)
+    b = rng.integers(0, 256, (70, 32), dtype=np.uint8)
+    b[10] = a[5]  # exact match
+    dist, idx = R._np_best_hamming(a, b)
+    assert dist[5] == 0 and idx[5] == 10
+
+    lib = R._lib()
+    if lib is None:
+        pytest.skip("no native toolchain")
+    import ctypes
+
+    bi = (ctypes.c_int32 * 40)()
+    b1 = (ctypes.c_int32 * 40)()
+    b2 = (ctypes.c_int32 * 40)()
+    lib.retrieval_match(a.tobytes(), 40, b.tobytes(), 70, bi, b1, b2)
+    np.testing.assert_array_equal(np.frombuffer(b1, np.int32, 40), dist)
+
+
+def test_ransac_umeyama_with_outliers():
+    from dpvo_tpu.slam.long_term import ransac_umeyama
+
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((120, 3))
+    s_gt = 1.4
+    theta = 0.4
+    R_gt = np.array([
+        [np.cos(theta), -np.sin(theta), 0],
+        [np.sin(theta), np.cos(theta), 0],
+        [0, 0, 1.0],
+    ])
+    t_gt = np.array([0.5, -0.2, 1.0])
+    Y = s_gt * X @ R_gt.T + t_gt
+    Y[::4] += rng.standard_normal((30, 3)) * 5  # 25% outliers
+
+    R, t, s, inl = ransac_umeyama(X, Y)
+    assert abs(s - s_gt) < 0.02
+    assert np.linalg.norm(R - R_gt) < 0.05
+    assert np.linalg.norm(t - t_gt) < 0.1
+    assert inl.sum() >= 80
+
+
+def test_apply_pgo_rescales_depths():
+    import jax.numpy as jnp
+
+    from dpvo_tpu.config import Config
+    from dpvo_tpu.runtime.state import make_state
+    from dpvo_tpu.runtime.steps import StepFunctions
+
+    cfg = Config(BUFFER_SIZE=16, E_MAX=256, E_INAC_MAX=256, PMEM=4, MEM=4,
+                 M_OPT_MAX=128, GBA_POSES_MAX=16, GBA_DEPTHS_MAX=256, GBA_EDGES_MAX=512)
+    steps = StepFunctions(cfg, 64, 96)
+    state = make_state(cfg, 64, 96)
+    state = state._replace(patches=state.patches.at[:, 2].set(1.0))
+
+    N, M = cfg.BUFFER_SIZE, cfg.PATCHES_PER_FRAME
+    poses_new = np.tile(np.array([1, 2, 3, 0, 0, 0, 1.0], np.float32), (N, 1))
+    scales = np.full(N, 2.0, np.float32)
+    out = steps.apply_pgo(state, jnp.asarray(poses_new), jnp.asarray(scales), jnp.int32(4))
+    d = np.asarray(out.patches[:, 2, 1, 1])
+    np.testing.assert_allclose(d[: 4 * M], 0.5)
+    np.testing.assert_allclose(d[4 * M:], 1.0)
+    p = np.asarray(out.poses)
+    np.testing.assert_allclose(p[:4, :3], np.tile([1.0, 2.0, 3.0], (4, 1)), atol=1e-6)
+    np.testing.assert_allclose(p[4:, :3], 0.0)
