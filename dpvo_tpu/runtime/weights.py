@@ -45,7 +45,27 @@ def save_params(path: str, params: Dict):
 
 
 def load_params(path: str, cfg: Config) -> Dict:
-    """Load a .npz produced by save_params, re-using init for structure."""
+    """Load weights: a .npz from save_params, or a directory containing
+    the reference's fnet.onnx/inet.onnx (encoders ported, update
+    operator random — train it; mirrors the reference's onnx-directory
+    convention, dpvo/dpvo.py:187-268)."""
+    import os
+
+    if os.path.isdir(path):
+        from dpvo_tpu.runtime.torch_port import port_reference_encoders
+
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        fnet = os.path.join(path, "fnet.onnx")
+        inet = os.path.join(path, "inet.onnx")
+        if os.path.exists(fnet) and os.path.exists(inet):
+            print("loading reference encoder weights (update operator "
+                  "is untrained; see runtime/torch_port.py)")
+            return port_reference_encoders(params, fnet, inet)
+        npz = os.path.join(path, "params.npz")
+        if os.path.exists(npz):
+            return load_params(npz, cfg)
+        raise FileNotFoundError(f"no weights found in {path}")
+
     template = init_params(cfg, jax.random.PRNGKey(0))
     data = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(template)
