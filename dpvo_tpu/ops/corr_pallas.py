@@ -10,15 +10,20 @@ sharing a target frame reuse the same feature map:
   2. the full target feature map is DMA'd into a zero-padded VMEM
      cache once per distinct frame (~22 loads x ~6 MB instead of 36k
      x 64 KB),
-  3. each edge slices its P^2 patch-pixel windows [D,D,C] out of VMEM
-     (aligned wide loads + dynamic rotate for the sublane offset) and
-     contracts them against the patch features on the MXU.
+  3. each edge slices its P^2 patch-pixel windows [D,2D,C] out of VMEM
+     (aligned wide loads, no per-load rotate) and contracts them
+     against the patch features on the MXU; the fractional sublane
+     offset is undone AFTER the contraction with a tiny [D,2D]x[2D,D]
+     column-selection matmul per pixel, where the C axis is gone
+     (~C x less VPU work than rotating the raw windows).
 
 The kernel emits the raw window dot-products s[e, p, u*D+v] (f32
 accumulated, bf16 stored); the 2x2 bilinear reduction to the
 (D-1)x(D-1) grid runs outside in XLA where it vectorizes across edges
-at full lane width (in-kernel it costs ~200 cycles/edge on 9-sublane
-tiles).
+at full lane width.
+
+Padded / fully-invalid edges (sorted to the tail) skip the loads and
+dots entirely and emit zeros.
 
 Out-of-image samples read the zeroed cache border, reproducing the
 reference kernel's zero-outside-bounds semantics exactly; windows that
@@ -47,8 +52,10 @@ EB = 128  # edges per grid step
 
 def _make_kernel(H2: int, W2: int, C: int, D: int, P2: int):
     W = D * D
+    WX = D * 2 * D  # wide (unrotated) window rows per patch pixel
 
-    def kernel(jj_s, cy_s, cx_s, f1_r, fmap_r, out_r, cache_r, win_r, loaded_r, sem):
+    def kernel(jj_s, cy_s, cx_s, vb_s, f1_r, fmap_r, out_r, cache_r, win_r,
+               loaded_r, sem):
         @pl.when(pl.program_id(0) == 0)
         def _():
             loaded_r[0] = -1
@@ -56,45 +63,65 @@ def _make_kernel(H2: int, W2: int, C: int, D: int, P2: int):
 
         # constant: keep only the own-patch column of the MXU result
         sel = (
-            jax.lax.broadcasted_iota(jnp.int32, (P2 * W, P2), 1)
-            == jax.lax.broadcasted_iota(jnp.int32, (P2 * W, P2), 0) // W
+            jax.lax.broadcasted_iota(jnp.int32, (P2 * WX, P2), 1)
+            == jax.lax.broadcasted_iota(jnp.int32, (P2 * WX, P2), 0) // WX
         ).astype(jnp.float32)
 
         def body(e, _):
-            j = jj_s[0, e]
-
-            @pl.when(j != loaded_r[0])
+            @pl.when(vb_s[0, e] == 0)
             def _():
-                loaded_r[0] = j
-                cp = pltpu.make_async_copy(
-                    fmap_r.at[j],
-                    cache_r.at[pl.ds(D, H2), pl.ds(D, W2), :],
-                    sem,
-                )
-                cp.start()
-                cp.wait()
+                # padded / invalid edge: emit zeros (the output buffer is
+                # uninitialized memory; the XLA epilogue multiplies by 0
+                # but 0 * garbage-NaN would stick)
+                out_r[e] = jnp.zeros((P2, D, D), out_r.dtype)
 
-            for p in range(P2):
-                # sublane (x) slices must be 8-aligned on TPU: load an
-                # aligned 2D-wide strip and rotate the fractional offset
-                cx = cx_s[e, p]
-                d = jax.lax.rem(cx, 8)
-                cxa = pl.multiple_of(cx - d, 8)
-                wide = cache_r[pl.ds(cy_s[e, p], D), pl.ds(cxa, 2 * D), :]
-                # dynamic rotate only supports 32-bit lanes
-                wide = pltpu.roll(wide.astype(jnp.float32), 2 * D - d, axis=1)
-                win_r[p * W:(p + 1) * W, :] = (
-                    wide[:, :D, :].astype(win_r.dtype).reshape(W, C)
-                )
+            @pl.when(vb_s[0, e] > 0)
+            def _():
+                j = jj_s[0, e]
 
-            # MXU: [P2*W, C] x [P2, C]^T -> [P2*W, P2]; keep own patch col
-            res = jax.lax.dot_general(
-                win_r[:], f1_r[e],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            s = (res * sel).reshape(P2, W, P2).sum(axis=-1)  # [P2, W]
-            out_r[e] = s.astype(out_r.dtype)
+                @pl.when(j != loaded_r[0])
+                def _():
+                    loaded_r[0] = j
+                    cp = pltpu.make_async_copy(
+                        fmap_r.at[j],
+                        cache_r.at[pl.ds(D, H2), pl.ds(D, W2), :],
+                        sem,
+                    )
+                    cp.start()
+                    cp.wait()
+
+                # sublane (x) slices must be 8-aligned on TPU: load the
+                # aligned 2D-wide strip as-is (bf16, no rotate) and undo
+                # the fractional offset AFTER the contraction, where the
+                # C axis is gone
+                for p in range(P2):
+                    cx = cx_s[e, p]
+                    d = jax.lax.rem(cx, 8)
+                    cxa = pl.multiple_of(cx - d, 8)
+                    win_r[p * WX:(p + 1) * WX, :] = cache_r[
+                        pl.ds(cy_s[e, p], D), pl.ds(cxa, 2 * D), :
+                    ].reshape(WX, C)
+
+                # MXU: [P2*WX, C] x [P2, C]^T -> [P2*WX, P2]; own column
+                res = jax.lax.dot_general(
+                    win_r[:], f1_r[e],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s = (res * sel).reshape(P2, WX, P2).sum(axis=-1)  # [P2, WX]
+                s = s.reshape(P2, D, 2 * D)
+                # undo the alignment offset: column-selection matmul
+                # (Mosaic's dynamic_rotate needs full 128-lane tiles;
+                # a [D,2D]x[2D,D] dot selecting columns d..d+D-1 is the
+                # supported way to shift a narrow tile dynamically)
+                iv = jax.lax.broadcasted_iota(jnp.int32, (2 * D, D), 0)
+                iu = jax.lax.broadcasted_iota(jnp.int32, (2 * D, D), 1)
+                for p in range(P2):
+                    d = jax.lax.rem(cx_s[e, p], 8)
+                    pm = (iv == iu + d).astype(jnp.float32)
+                    out_r[e, p] = jax.lax.dot(
+                        s[p], pm, preferred_element_type=jnp.float32
+                    ).astype(out_r.dtype)
             return 0
 
         jax.lax.fori_loop(0, EB, body, 0)
@@ -142,21 +169,23 @@ def _corr_level(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
             pl.BlockSpec((1, EB), lambda i: (0, i), memory_space=pltpu.SMEM),  # jj
             smem(EB, P2),        # cy
             smem(EB, P2),        # cx
+            pl.BlockSpec((1, EB), lambda i: (0, i), memory_space=pltpu.SMEM),  # valid
             vmem(EB, P2, C),     # f1
             pl.BlockSpec(memory_space=pltpu.ANY),  # fmap (HBM)
         ],
-        out_specs=vmem(EB, P2, W),
-        out_shape=jax.ShapeDtypeStruct((E, P2, W), jnp.bfloat16),
+        out_specs=vmem(EB, P2, D, D),
+        out_shape=jax.ShapeDtypeStruct((E, P2, D, D), jnp.bfloat16),
         scratch_shapes=[
             # x is the sublane dim: pad right by an extra D so the
             # aligned 2D-wide strip loads stay in bounds
             pltpu.VMEM((H2 + 2 * D, W2a + 3 * D, C), fmap.dtype),
-            pltpu.VMEM((P2 * W, C), fmap.dtype),
+            pltpu.VMEM((P2 * D * 2 * D, C), fmap.dtype),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(jjk[None], cy, cx, f1, fmap)
+    )(jjk[None], cy, cx, vp.any(axis=1).astype(jnp.int32)[None], f1, fmap)
+    s = s.reshape(s.shape[0], P2, W)
 
     # 2x2 bilinear reduction across the D x D grid, vectorized over all
     # edges in XLA (lane dim = W). Shifts along the w = u*D+v axis:

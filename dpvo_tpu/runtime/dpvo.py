@@ -57,6 +57,10 @@ class DPVO:
 
         self.is_initialized = False
         self._pending = None       # deferred device payload maintenance
+        self._inflight = None      # (out_small device array) of the last
+                                   # fused frame; fetched lazily so the
+                                   # host never waits on the device inside
+                                   # the steady-state loop (pipeline depth 1)
         self._identity_ops = np.zeros((3, cfg.E_MAX), np.int32)
         self._identity_ops[0] = np.arange(cfg.E_MAX)
         self._framebuf = np.zeros(self.steps._layout[1], np.uint8)
@@ -118,6 +122,19 @@ class DPVO:
             raise RuntimeError(
                 f"Buffer size {cfg.BUFFER_SIZE} too small; increase BUFFER_SIZE"
             )
+        if image.shape[:2] != (self.ht, self.wd):
+            raise ValueError(
+                f"frame size {image.shape[:2]} != ({self.ht}, {self.wd}) the "
+                "tracker was built for; the stream must be size-stable"
+            )
+
+        # start the (big) image upload immediately: device_put is async,
+        # so the transfer rides out the previous frame's compute
+        image_dev = jax.device_put(image)
+        # retire the previous fused frame: fetch its keyframe flow
+        # magnitude (usually already landed host-side) and apply the
+        # keyframe/retirement decision to the host topology
+        self._drain_inflight()
 
         self.tlist.append(float(tstamp))
         if len(self.tstamps) == self.n:
@@ -148,12 +165,12 @@ class DPVO:
             and self.oracle is None
             and not run_gba
         ):
-            self._fused_frame(image, intrinsics, fac)
+            self._fused_frame(image_dev, intrinsics, fac)
             return
 
         self._flush_pending()
         fmap, gmap_p, imap_p, patches, clr = self.steps.patchify(
-            self.params, jnp.asarray(image), self._next_key()
+            self.params, image_dev, self._next_key()
         )
         self.state = self.steps.ingest(
             self.state, jnp.int32(self.n), fmap, gmap_p, imap_p, patches, clr,
@@ -194,10 +211,13 @@ class DPVO:
             self.long_term_lc.attempt_loop_closure(self.n)
             self.long_term_lc.lc_callback()
 
-    def _fused_frame(self, image, intrinsics, fac):
+    def _fused_frame(self, image_dev, intrinsics, fac):
         """Steady-state frame: one device program for patchify + ingest
         + update + keyframe flow magnitude, one packed topology upload,
-        one scalar fetch (see StepFunctions._frame_step)."""
+        zero synchronous fetches — the keyframe scalar result is left in
+        flight and consumed at the start of the NEXT frame, so upload,
+        compute and readback all overlap across frames (see
+        StepFunctions._frame_step)."""
         cfg = self.cfg
         M = cfg.PATCHES_PER_FRAME
         self.topo.add_frame()
@@ -215,7 +235,7 @@ class DPVO:
         i_kf = self.n - cfg.KEYFRAME_INDEX - 1
         j_kf = self.n - cfg.KEYFRAME_INDEX + 1
         meta = np.zeros(24 + 2 * M, np.float32)
-        meta[0] = self.n
+        meta[0] = self.n - 1  # the new frame's row (add_frame already ran)
         meta[1] = fac
         meta[2] = 1.0 if self.n > 1 else 0.0
         meta[4] = start
@@ -263,20 +283,32 @@ class DPVO:
         valid = np.zeros(E, np.uint8)
         valid[:Ecur] = 1
         buf = self.steps.pack_frame(
-            self._framebuf, image, padE(topo.kk, np.int32), padE(topo.jj, np.uint16),
+            self._framebuf, padE(topo.kk, np.int32), padE(topo.jj, np.uint16),
             padE(ix, np.uint16), padE(jx, np.uint16), padE(hp, np.uint8),
             padE(hn, np.uint8), valid, d2p, pairs, meta,
             ops[0].astype(np.uint16), ops[1].astype(np.uint16), ops[2].astype(np.uint16),
         )
         self.state, out_small = self.steps.frame_step(
-            self.params, self.state, jnp.asarray(buf), self._next_key(),
+            self.params, self.state, image_dev, jnp.asarray(buf), self._next_key(),
         )
-        out_small = np.asarray(out_small)
-        self._keyframe_decide(float(out_small[0]), pose_pair=out_small[1:].reshape(2, 7))
+        # leave the result in flight; kick off the device->host copy now
+        # so it lands while the device runs the next frame
+        try:
+            out_small.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._inflight = out_small
 
         if self.long_term_lc is not None:  # ref dpvo.py:1027-1029
             self.long_term_lc.attempt_loop_closure(self.n)
             self.long_term_lc.lc_callback()
+
+    def _drain_inflight(self):
+        if self._inflight is None:
+            return
+        out_small = np.asarray(self._inflight)
+        self._inflight = None
+        self._keyframe_decide(float(out_small[0]), pose_pair=out_small[1:].reshape(2, 7))
 
     def _append(self, kk, jj, defer_zero: bool = False):
         overflow = len(self.topo.ii) + len(kk) - self.cfg.E_MAX
@@ -442,6 +474,7 @@ class DPVO:
     def _flush_pending(self):
         """Apply deferred payload maintenance as a standalone call (used
         whenever device state is read/updated outside the fused step)."""
+        self._drain_inflight()
         if self._pending is None:
             return
         ops, k_cull, n_after, nstore = self._pending

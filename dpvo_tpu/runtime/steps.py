@@ -76,10 +76,8 @@ class StepFunctions:
         cfg = self.cfg
         E = cfg.E_MAX
         M = cfg.PATCHES_PER_FRAME
-        img_bytes = self.ht * self.wd * 3
         meta_len = 24 + 2 * M
         sections = [
-            ("image", img_bytes, np.uint8),
             ("kk", 4 * E, np.int32),
             ("jj", 2 * E, np.uint16),
             ("ix", 2 * E, np.uint16),
@@ -100,9 +98,12 @@ class StepFunctions:
             off += nbytes
         return layout, off
 
-    def pack_frame(self, buf, image, kk, jj, ix, jx, mask_ix, mask_jx, valid,
+    def pack_frame(self, buf, kk, jj, ix, jx, mask_ix, mask_jx, valid,
                    d2p, pairs, meta, perm, src, dst):
-        """Fill the preallocated uint8 frame buffer (host side)."""
+        """Fill the preallocated uint8 frame buffer (host side). The
+        image ships separately so its (much larger) upload can start the
+        moment the frame arrives, before the keyframe decision fixes the
+        topology sections."""
         import numpy as np
 
         layout, _ = self._layout
@@ -114,7 +115,6 @@ class StepFunctions:
             if a.size < view.size:
                 view[a.size:] = 0
 
-        put("image", image.ravel())
         put("kk", kk)
         put("jj", jj)
         put("ix", ix)
@@ -132,8 +132,8 @@ class StepFunctions:
         return buf
 
     def unpack_frame(self, buf):
-        """Device-side unpack of the frame buffer -> (image, es, meta,
-        ops). Derives ii / circular slots / segment ids from kk, jj."""
+        """Device-side unpack of the topology buffer -> (es, meta, ops).
+        Derives ii / circular slots / segment ids from kk, jj."""
         cfg = self.cfg
         M = cfg.PATCHES_PER_FRAME
         layout, _ = self._layout
@@ -145,7 +145,6 @@ class StepFunctions:
                 return raw
             return jax.lax.bitcast_convert_type(raw.reshape(-1, width), jdt)
 
-        image = get("image", jnp.uint8, 1).reshape(self.ht, self.wd, 3)
         kk = get("kk", jnp.int32, 4)
         jj = get("jj", jnp.uint16, 2).astype(jnp.int32)
         ix = get("ix", jnp.uint16, 2).astype(jnp.int32)
@@ -175,7 +174,7 @@ class StepFunctions:
         )
         es["kd"] = es["kk_seg"]
         es["dense2patch"] = d2p
-        return image, es, meta, (perm, src, dst)
+        return es, meta, (perm, src, dst)
 
     # ---------------- frame ingestion ----------------
 
@@ -293,13 +292,14 @@ class StepFunctions:
 
     # ---------------- fused steady-state frame step ----------------
 
-    def _frame_step(self, params, state: VOState, buf, key):
+    def _frame_step(self, params, state: VOState, image_u8, buf, key):
         """One tracked frame in a single device program: pending
         keyframe/retirement maintenance -> patchify -> ingest -> zero
         fresh edges -> update operator + sliding-window BA -> keyframe
         flow magnitude. Fuses what the reference does in ~8 kernel
-        launches + host syncs (dpvo.py:905-1025); the entire per-frame
-        payload arrives as ONE packed uint8 buffer (see pack_frame).
+        launches + host syncs (dpvo.py:905-1025); the per-frame payload
+        arrives as the raw image plus ONE packed topology buffer (see
+        pack_frame).
 
         meta (f32): [0]=n [1]=motion_fac [2]=do_motion [3]=k_cull(-1)
         [4]=start [5]=count [6]=t0 [7]=nfree [8]=i_kf [9]=j_kf
@@ -313,7 +313,7 @@ class StepFunctions:
         """
         cfg = self.cfg
         M = cfg.PATCHES_PER_FRAME
-        image_u8, es, meta, (perm, src, dst) = self.unpack_frame(buf)
+        es, meta, (perm, src, dst) = self.unpack_frame(buf)
         n = meta[0].astype(jnp.int32)
         intr = meta[12:16]
 

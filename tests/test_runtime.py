@@ -124,3 +124,33 @@ def test_oracle_with_keyframe_culling(scene):
     assert poses.shape == (20, 7)
     assert np.all(np.isfinite(poses))
     assert kept <= 20
+
+
+def test_fused_steady_state_pipeline(scene):
+    """The steady-state fused path (one device program per frame,
+    keyframe decision consumed one frame late, deferred maintenance)
+    must keep bookkeeping consistent through keyframe culls and produce
+    a finite, complete trajectory (ref dpvo.py:905-1025 hot path)."""
+    cfg = small_cfg(KEYFRAME_THRESH=12.5)
+    slam = DPVO(cfg, None, ht=HT, wd=WD, seed=3)
+    slam._motion_probe = lambda: 1e9  # force init with random weights
+    # deterministic cull cadence so the deferred-maintenance path runs
+    orig = slam._keyframe_decide
+    calls = {"i": 0}
+
+    def fixed(m, **kw):
+        calls["i"] += 1
+        orig(0.0 if calls["i"] % 3 == 0 else 1e9, **kw)
+
+    slam._keyframe_decide = fixed
+    n_frames = 20
+    for t in range(n_frames):
+        slam(t, scene.render(t), scene.intrinsics.copy())
+    assert slam._inflight is not None  # steady state really pipelines
+    n_culled = calls["i"] // 3
+    assert slam.n == n_frames - n_culled - 1 + 1  # culls applied (one lags)
+    poses, tstamps = slam.terminate()
+    assert poses.shape[0] == n_frames
+    assert np.all(np.isfinite(poses))
+    qn = np.linalg.norm(poses[:, 3:], axis=1)
+    assert np.allclose(qn, 1.0, atol=1e-3)
