@@ -12,15 +12,14 @@ sharing a target frame reuse the same feature map:
      x 64 KB),
   3. each edge slices its P^2 patch-pixel windows [D,2D,C] out of VMEM
      (aligned wide loads, no per-load rotate) and contracts them
-     against the patch features on the MXU; the fractional sublane
-     offset is undone AFTER the contraction with a tiny [D,2D]x[2D,D]
-     column-selection matmul per pixel, where the C axis is gone
-     (~C x less VPU work than rotating the raw windows).
+     against the patch features on the MXU. The loop body is P^2 loads,
+     ONE dot and ONE [P2, 2D*D] tile write; everything per-PIXEL — the
+     8-alignment remainder of each window and the 2x2 bilinear
+     reduction — happens outside in XLA as take_along_axis over the
+     wide grid, vectorized across all edges at full lane width.
 
-The kernel emits the raw window dot-products s[e, p, u*D+v] (f32
-accumulated, bf16 stored); the 2x2 bilinear reduction to the
-(D-1)x(D-1) grid runs outside in XLA where it vectorizes across edges
-at full lane width.
+The kernel emits the raw wide-window dot-products s[e, p, u*2D + x2]
+(f32 accumulated, bf16 stored).
 
 Padded / fully-invalid edges (sorted to the tail) skip the loads and
 dots entirely and emit zeros.
@@ -73,7 +72,7 @@ def _make_kernel(H2: int, W2: int, C: int, D: int, P2: int):
                 # padded / invalid edge: emit zeros (the output buffer is
                 # uninitialized memory; the XLA epilogue multiplies by 0
                 # but 0 * garbage-NaN would stick)
-                out_r[e] = jnp.zeros((P2, D, D), out_r.dtype)
+                out_r[e] = jnp.zeros((P2, WX), out_r.dtype)
 
             @pl.when(vb_s[0, e] > 0)
             def _():
@@ -91,9 +90,9 @@ def _make_kernel(H2: int, W2: int, C: int, D: int, P2: int):
                     cp.wait()
 
                 # sublane (x) slices must be 8-aligned on TPU: load the
-                # aligned 2D-wide strip as-is (bf16, no rotate) and undo
-                # the fractional offset AFTER the contraction, where the
-                # C axis is gone
+                # aligned 2D-wide strip as-is (bf16, no rotate); the
+                # fractional offset is undone by the gather epilogue in
+                # XLA, so the loop body is loads + ONE dot + ONE write
                 for p in range(P2):
                     cx = cx_s[e, p]
                     d = jax.lax.rem(cx, 8)
@@ -109,19 +108,7 @@ def _make_kernel(H2: int, W2: int, C: int, D: int, P2: int):
                     preferred_element_type=jnp.float32,
                 )
                 s = (res * sel).reshape(P2, WX, P2).sum(axis=-1)  # [P2, WX]
-                s = s.reshape(P2, D, 2 * D)
-                # undo the alignment offset: column-selection matmul
-                # (Mosaic's dynamic_rotate needs full 128-lane tiles;
-                # a [D,2D]x[2D,D] dot selecting columns d..d+D-1 is the
-                # supported way to shift a narrow tile dynamically)
-                iv = jax.lax.broadcasted_iota(jnp.int32, (2 * D, D), 0)
-                iu = jax.lax.broadcasted_iota(jnp.int32, (2 * D, D), 1)
-                for p in range(P2):
-                    d = jax.lax.rem(cx_s[e, p], 8)
-                    pm = (iv == iu + d).astype(jnp.float32)
-                    out_r[e, p] = jax.lax.dot(
-                        s[p], pm, preferred_element_type=jnp.float32
-                    ).astype(out_r.dtype)
+                out_r[e] = s.astype(out_r.dtype)
             return 0
 
         jax.lax.fori_loop(0, EB, body, 0)
@@ -173,8 +160,8 @@ def _corr_level(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
             vmem(EB, P2, C),     # f1
             pl.BlockSpec(memory_space=pltpu.ANY),  # fmap (HBM)
         ],
-        out_specs=vmem(EB, P2, D, D),
-        out_shape=jax.ShapeDtypeStruct((E, P2, D, D), jnp.bfloat16),
+        out_specs=vmem(EB, P2, 2 * W),
+        out_shape=jax.ShapeDtypeStruct((E, P2, 2 * W), jnp.bfloat16),
         scratch_shapes=[
             # x is the sublane dim: pad right by an extra D so the
             # aligned 2D-wide strip loads stay in bounds
@@ -185,21 +172,33 @@ def _corr_level(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
         ],
         interpret=interpret,
     )(jjk[None], cy, cx, vp.any(axis=1).astype(jnp.int32)[None], f1, fmap)
-    s = s.reshape(s.shape[0], P2, W)
 
-    # 2x2 bilinear reduction across the D x D grid, vectorized over all
-    # edges in XLA (lane dim = W). Shifts along the w = u*D+v axis:
-    # (u, v+1) = roll -1, (u+1, v) = roll -D, (u+1, v+1) = roll -(D+1);
-    # wrapped entries land on masked u/v = D-1 slots.
-    sf = s.astype(jnp.float32)
-    s01 = jnp.roll(sf, -1, axis=-1)
-    s10 = jnp.roll(sf, -D, axis=-1)
-    s11 = jnp.roll(sf, -(D + 1), axis=-1)
+    # Window selection (alignment remainder) + 2x2 bilinear reduction,
+    # vectorized over all edges in XLA. The kernel emitted the WIDE
+    # per-pixel grid s[p, u*2D + x2]; channel (u, v) samples x2 = d+v
+    # with d in 0..7 the 8-alignment remainder of the window corner.
+    # Per-element gathers are pathological on TPU, so build the 8
+    # possible windows with STATIC slices and blend with a one-hot over
+    # d — pure shifts/selects, fully vectorized.
+    Ep_ = s.shape[0]
+    s4 = s.astype(jnp.float32).reshape(Ep_, P2, D, 2 * D)
+    drem = cx % 8  # [E,P2]
+    sel = jnp.stack([s4[..., k:k + D] for k in range(8)])  # [8,E,P2,D,D]
+    oh = (drem[None] == jnp.arange(8)[:, None, None]).astype(jnp.float32)
+    sw = jnp.einsum("kep,kepuv->epuv", oh, sel).reshape(Ep_, P2, W)
+
+    # 2x2 bilinear reduction across the D x D grid. Shifts along the
+    # w = u*D+v axis: (u, v+1) = roll -1, (u+1, v) = roll -D,
+    # (u+1, v+1) = roll -(D+1); wrapped entries land on masked
+    # u/v = D-1 slots.
+    s01 = jnp.roll(sw, -1, axis=-1)
+    s10 = jnp.roll(sw, -D, axis=-1)
+    s11 = jnp.roll(sw, -(D + 1), axis=-1)
     w00 = ((1 - dyf) * (1 - dxf) * vf)[..., None]
     w01 = ((1 - dyf) * dxf * vf)[..., None]
     w10 = (dyf * (1 - dxf) * vf)[..., None]
     w11 = (dyf * dxf * vf)[..., None]
-    o = w00 * sf + w01 * s01 + w10 * s10 + w11 * s11
+    o = w00 * sw + w01 * s01 + w10 * s10 + w11 * s11
     lane = jnp.arange(W)
     keep = ((lane % D < D - 1) & (lane // D < D - 1)).astype(o.dtype)
     return (o * keep).astype(jnp.bfloat16)
