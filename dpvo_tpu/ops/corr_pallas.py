@@ -53,65 +53,63 @@ def _make_kernel(H2: int, W2: int, C: int, D: int, P2: int):
     W = D * D
     WX = D * 2 * D  # wide (unrotated) window rows per patch pixel
 
-    def kernel(jj_s, cy_s, cx_s, vb_s, f1_r, fmap_r, out_r, cache_r, win_r,
+    def kernel(jj_s, cy_s, cx_s, nv_s, f1_r, fmap_r, out_r, cache_r, win_r,
                loaded_r, sem):
         @pl.when(pl.program_id(0) == 0)
         def _():
             loaded_r[0] = -1
             cache_r[:] = jnp.zeros_like(cache_r)
 
-        # constant: keep only the own-patch column of the MXU result
-        sel = (
-            jax.lax.broadcasted_iota(jnp.int32, (P2 * WX, P2), 1)
-            == jax.lax.broadcasted_iota(jnp.int32, (P2 * WX, P2), 0) // WX
-        ).astype(jnp.float32)
+        # one vectorized zero-fill covers the invalid suffix (the output
+        # buffer is uninitialized memory; the XLA epilogue multiplies by
+        # 0 but 0 * garbage-NaN would stick), so the edge loop below has
+        # NO per-edge validity branch: it simply stops at this block's
+        # valid count (edges are sorted valid-first)
+        out_r[:] = jnp.zeros_like(out_r)
+        nv = jnp.clip(nv_s[0, 0] - pl.program_id(0) * EB, 0, EB)
 
         def body(e, _):
-            @pl.when(vb_s[0, e] == 0)
+            j = jj_s[0, e]
+
+            @pl.when(j != loaded_r[0])
             def _():
-                # padded / invalid edge: emit zeros (the output buffer is
-                # uninitialized memory; the XLA epilogue multiplies by 0
-                # but 0 * garbage-NaN would stick)
-                out_r[e] = jnp.zeros((P2, WX), out_r.dtype)
-
-            @pl.when(vb_s[0, e] > 0)
-            def _():
-                j = jj_s[0, e]
-
-                @pl.when(j != loaded_r[0])
-                def _():
-                    loaded_r[0] = j
-                    cp = pltpu.make_async_copy(
-                        fmap_r.at[j],
-                        cache_r.at[pl.ds(D, H2), pl.ds(D, W2), :],
-                        sem,
-                    )
-                    cp.start()
-                    cp.wait()
-
-                # sublane (x) slices must be 8-aligned on TPU: load the
-                # aligned 2D-wide strip as-is (bf16, no rotate); the
-                # fractional offset is undone by the gather epilogue in
-                # XLA, so the loop body is loads + ONE dot + ONE write
-                for p in range(P2):
-                    cx = cx_s[e, p]
-                    d = jax.lax.rem(cx, 8)
-                    cxa = pl.multiple_of(cx - d, 8)
-                    win_r[p * WX:(p + 1) * WX, :] = cache_r[
-                        pl.ds(cy_s[e, p], D), pl.ds(cxa, 2 * D), :
-                    ].reshape(WX, C)
-
-                # MXU: [P2*WX, C] x [P2, C]^T -> [P2*WX, P2]; own column
-                res = jax.lax.dot_general(
-                    win_r[:], f1_r[e],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                loaded_r[0] = j
+                cp = pltpu.make_async_copy(
+                    fmap_r.at[j],
+                    cache_r.at[pl.ds(D, H2), pl.ds(D, W2), :],
+                    sem,
                 )
-                s = (res * sel).reshape(P2, WX, P2).sum(axis=-1)  # [P2, WX]
-                out_r[e] = s.astype(out_r.dtype)
+                cp.start()
+                cp.wait()
+
+            # sublane (x) slices must be 8-aligned on TPU: load the
+            # aligned 2D-wide strip as-is (bf16, no rotate); the
+            # fractional offset is undone by the epilogue in XLA, so
+            # the loop body is P^2 loads + ONE dot + ONE tile write
+            for p in range(P2):
+                cx = cx_s[e, p]
+                d = jax.lax.rem(cx, 8)
+                cxa = pl.multiple_of(cx - d, 8)
+                win_r[p * WX:(p + 1) * WX, :] = cache_r[
+                    pl.ds(cy_s[e, p], D), pl.ds(cxa, 2 * D), :
+                ].reshape(WX, C)
+
+            # MXU: [P2, C] x [P2*WX, C]^T -> [P2, P2*WX]. This
+            # orientation keeps the result on full 128-lane tiles
+            # (WX = 2*D*D = 128); the own-window block diagonal comes
+            # out with P2 STATIC slices — no padded-lane select math
+            # (the [P2*WX, P2] orientation pads 9 lanes to 128 and
+            # made the selection ~3x the cost of the dot itself)
+            res = jax.lax.dot_general(
+                f1_r[e], win_r[:],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [P2, P2*WX]
+            s = jnp.stack([res[p, p * WX:(p + 1) * WX] for p in range(P2)])
+            out_r[e] = s.astype(out_r.dtype)
             return 0
 
-        jax.lax.fori_loop(0, EB, body, 0)
+        jax.lax.fori_loop(0, nv, body, 0)
 
     return kernel
 
@@ -156,7 +154,7 @@ def _corr_level(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
             pl.BlockSpec((1, EB), lambda i: (0, i), memory_space=pltpu.SMEM),  # jj
             smem(EB, P2),        # cy
             smem(EB, P2),        # cx
-            pl.BlockSpec((1, EB), lambda i: (0, i), memory_space=pltpu.SMEM),  # valid
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),  # n_valid
             vmem(EB, P2, C),     # f1
             pl.BlockSpec(memory_space=pltpu.ANY),  # fmap (HBM)
         ],
@@ -171,7 +169,7 @@ def _corr_level(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(jjk[None], cy, cx, vp.any(axis=1).astype(jnp.int32)[None], f1, fmap)
+    )(jjk[None], cy, cx, jnp.sum(vs).astype(jnp.int32)[None, None], f1, fmap)
 
     # Window selection (alignment remainder) + 2x2 bilinear reduction,
     # vectorized over all edges in XLA. The kernel emitted the WIDE
