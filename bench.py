@@ -58,11 +58,65 @@ def main():
         slam(t, frames[t], scene.intrinsics.copy())
     jax.block_until_ready(slam.state.poses)
 
+    bench_frames = frames
+    if "--preupload" in sys.argv:
+        # isolate the image-upload cost: device_put of an already
+        # committed array is a no-op inside __call__
+        bench_frames = list(frames[:n_warmup]) + [
+            jax.device_put(f) for f in frames[n_warmup:]
+        ]
+        jax.block_until_ready(bench_frames[-1])
+
+    pt0 = dict(slam.phase_times)
     t0 = time.perf_counter()
     for t in range(n_warmup, n_warmup + n_bench):
-        slam(t, frames[t], scene.intrinsics.copy())
+        slam(t, bench_frames[t], scene.intrinsics.copy())
     jax.block_until_ready(slam.state.poses)
     dt = time.perf_counter() - t0
+
+    if "--device" in sys.argv:
+        # tunnel-independent device-program time: chain frame_step K
+        # times in one lax.scan and difference two K values, so tunnel
+        # RTT/dispatch costs cancel
+        import jax.numpy as jnp
+        from jax import lax
+
+        steps = slam.steps
+        params = slam.params
+        img = jax.device_put(frames[-1])
+        buf = jnp.asarray(slam._framebuf)
+        key = jax.random.PRNGKey(9)
+
+        def scan_k(k):
+            def fn(st):
+                def body(s, _):
+                    s2, _out = steps._frame_step(params, s, img, buf, key)
+                    return s2, ()
+                return lax.scan(body, st, None, length=k)[0]
+            return jax.jit(fn)
+
+        slam._flush_pending()
+        times = {}
+        for k in (2, 12):
+            f = scan_k(k)
+            st = f(slam.state)
+            jax.block_until_ready(st.poses)
+            t1 = time.perf_counter()
+            st = f(slam.state)
+            jax.block_until_ready(st.poses)
+            times[k] = time.perf_counter() - t1
+        dev_ms = (times[12] - times[2]) / 10 * 1e3
+        print(f"# device frame_step: {dev_ms:.1f} ms/frame", file=sys.stderr)
+
+    if "--phases" in sys.argv:
+        pt = slam.phase_times
+        nf = max(pt["frames"] - pt0["frames"], 1)
+        other = dt
+        for k in ("upload", "drain", "pack", "dispatch"):
+            ms = (pt[k] - pt0[k]) / nf * 1e3
+            other -= (pt[k] - pt0[k])
+            print(f"# {k}: {ms:.1f} ms/frame", file=sys.stderr)
+        print(f"# device-wait(other): {other / nf * 1e3:.1f} ms/frame", file=sys.stderr)
 
     fps = n_bench / dt
     print(json.dumps({

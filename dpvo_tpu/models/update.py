@@ -28,7 +28,8 @@ class Update(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, net, inp, corr, ix, jx, mask_ix, mask_jx, kk_seg, ij_seg, valid, num_segments: int):
+    def __call__(self, net, inp, corr, ix, jx, mask_ix, mask_jx, kk_seg, ij_seg, valid,
+                 num_segments: int, num_ij_segments: int = 0):
         """One round of the recurrent edge-GNN.
 
         net [E,D] hidden state; inp [E,D] context (imap); corr [E,CORR_WIDTH]
@@ -60,9 +61,12 @@ class Update(nn.Module):
         net = net + MLP2(D, dtype=dt, name="c2")(m_jx * net[jx])
 
         # grouped attention pooling (ref net.py:268-269 upstream grouping:
-        # by patch kk, and by frame-pair ii*12345+jj)
+        # by patch kk, and by frame-pair ii*12345+jj). Segment counts are
+        # the (much smaller) group-id bounds, not the edge count — TPU
+        # scatter cost scales with the output size too.
+        n_ij = num_ij_segments or num_segments
         net = net + SoftAgg(D, dtype=dt, name="agg_kk")(net, kk_seg, num_segments, valid)
-        net = net + SoftAgg(D, dtype=dt, name="agg_ij")(net, ij_seg, num_segments, valid)
+        net = net + SoftAgg(D, dtype=dt, name="agg_ij")(net, ij_seg, n_ij, valid)
 
         # gated-residual "GRU" (ref net.py:194-199)
         net = LayerNorm(dtype=dt)(net)

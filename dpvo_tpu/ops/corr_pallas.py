@@ -64,52 +64,62 @@ def _make_kernel(H2: int, W2: int, C: int, D: int, P2: int):
         # buffer is uninitialized memory; the XLA epilogue multiplies by
         # 0 but 0 * garbage-NaN would stick), so the edge loop below has
         # NO per-edge validity branch: it simply stops at this block's
-        # valid count (edges are sorted valid-first)
+        # valid-group count (edges are sorted valid-first; a partial
+        # tail group computes finite garbage on padded edges that the
+        # epilogue's validity weights zero out)
         out_r[:] = jnp.zeros_like(out_r)
         nv = jnp.clip(nv_s[0, 0] - pl.program_id(0) * EB, 0, EB)
 
-        def body(e, _):
-            j = jj_s[0, e]
+        G = 4  # edges per loop iteration: amortizes loop overhead and
+        #        feeds the MXU one [G*P2, C]x[G*P2*WX, C]^T dot whose
+        #        rows/lanes are ~4x better utilized than per-edge dots
 
-            @pl.when(j != loaded_r[0])
-            def _():
-                loaded_r[0] = j
-                cp = pltpu.make_async_copy(
-                    fmap_r.at[j],
-                    cache_r.at[pl.ds(D, H2), pl.ds(D, W2), :],
-                    sem,
-                )
-                cp.start()
-                cp.wait()
+        def body(g, _):
+            e0 = g * G
+            for q in range(G):
+                j = jj_s[0, e0 + q]
 
-            # sublane (x) slices must be 8-aligned on TPU: load the
-            # aligned 2D-wide strip as-is (bf16, no rotate); the
-            # fractional offset is undone by the epilogue in XLA, so
-            # the loop body is P^2 loads + ONE dot + ONE tile write
-            for p in range(P2):
-                cx = cx_s[e, p]
-                d = jax.lax.rem(cx, 8)
-                cxa = pl.multiple_of(cx - d, 8)
-                win_r[p * WX:(p + 1) * WX, :] = cache_r[
-                    pl.ds(cy_s[e, p], D), pl.ds(cxa, 2 * D), :
-                ].reshape(WX, C)
+                @pl.when(j != loaded_r[0])
+                def _():
+                    loaded_r[0] = j
+                    cp = pltpu.make_async_copy(
+                        fmap_r.at[j],
+                        cache_r.at[pl.ds(D, H2), pl.ds(D, W2), :],
+                        sem,
+                    )
+                    cp.start()
+                    cp.wait()
 
-            # MXU: [P2, C] x [P2*WX, C]^T -> [P2, P2*WX]. This
+                # sublane (x) slices must be 8-aligned on TPU: load the
+                # aligned 2D-wide strip as-is (bf16, no rotate); the
+                # fractional offset is undone by the epilogue in XLA
+                for p in range(P2):
+                    cx = cx_s[e0 + q, p]
+                    d = jax.lax.rem(cx, 8)
+                    cxa = pl.multiple_of(cx - d, 8)
+                    win_r[(q * P2 + p) * WX:(q * P2 + p + 1) * WX, :] = cache_r[
+                        pl.ds(cy_s[e0 + q, p], D), pl.ds(cxa, 2 * D), :
+                    ].reshape(WX, C)
+
+            # MXU: [G*P2, C] x [G*P2*WX, C]^T -> [G*P2, G*P2*WX]. This
             # orientation keeps the result on full 128-lane tiles
-            # (WX = 2*D*D = 128); the own-window block diagonal comes
-            # out with P2 STATIC slices — no padded-lane select math
-            # (the [P2*WX, P2] orientation pads 9 lanes to 128 and
-            # made the selection ~3x the cost of the dot itself)
+            # (WX = 2*D*D = 128); each edge's own-window block diagonal
+            # comes out with STATIC slices — no padded-lane select math
+            f1g = jnp.concatenate([f1_r[e0 + q] for q in range(G)], axis=0)
             res = jax.lax.dot_general(
-                f1_r[e], win_r[:],
+                f1g, win_r[:],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [P2, P2*WX]
-            s = jnp.stack([res[p, p * WX:(p + 1) * WX] for p in range(P2)])
-            out_r[e] = s.astype(out_r.dtype)
+            )  # [G*P2, G*P2*WX]
+            for q in range(G):
+                s = jnp.stack([
+                    res[q * P2 + p, (q * P2 + p) * WX:(q * P2 + p + 1) * WX]
+                    for p in range(P2)
+                ])
+                out_r[e0 + q] = s.astype(out_r.dtype)
             return 0
 
-        jax.lax.fori_loop(0, nv, body, 0)
+        jax.lax.fori_loop(0, (nv + G - 1) // G, body, 0)
 
     return kernel
 
@@ -164,7 +174,7 @@ def _corr_level(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
             # x is the sublane dim: pad right by an extra D so the
             # aligned 2D-wide strip loads stay in bounds
             pltpu.VMEM((H2 + 2 * D, W2a + 3 * D, C), fmap.dtype),
-            pltpu.VMEM((P2 * D * 2 * D, C), fmap.dtype),
+            pltpu.VMEM((4 * P2 * D * 2 * D, C), fmap.dtype),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],

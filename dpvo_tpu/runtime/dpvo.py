@@ -56,6 +56,10 @@ class DPVO:
             self.params = init_params(cfg, jax.random.PRNGKey(seed))
 
         self.is_initialized = False
+        # cumulative steady-state phase timers (seconds); negligible
+        # overhead, read by bench.py --phases for on-TPU breakdowns
+        self.phase_times = {"upload": 0.0, "drain": 0.0, "pack": 0.0,
+                            "dispatch": 0.0, "frames": 0}
         self._pending = None       # deferred device payload maintenance
         self._inflight = None      # (out_small device array) of the last
                                    # fused frame; fetched lazily so the
@@ -130,11 +134,18 @@ class DPVO:
 
         # start the (big) image upload immediately: device_put is async,
         # so the transfer rides out the previous frame's compute
+        import time as _time
+
+        _t0 = _time.perf_counter()
         image_dev = jax.device_put(image)
+        _t1 = _time.perf_counter()
         # retire the previous fused frame: fetch its keyframe flow
         # magnitude (usually already landed host-side) and apply the
         # keyframe/retirement decision to the host topology
         self._drain_inflight()
+        pt = self.phase_times
+        pt["upload"] += _t1 - _t0
+        pt["drain"] += _time.perf_counter() - _t1
 
         self.tlist.append(float(tstamp))
         if len(self.tstamps) == self.n:
@@ -218,8 +229,11 @@ class DPVO:
         flight and consumed at the start of the NEXT frame, so upload,
         compute and readback all overlap across frames (see
         StepFunctions._frame_step)."""
+        import time as _time
+
         cfg = self.cfg
         M = cfg.PATCHES_PER_FRAME
+        _tp = _time.perf_counter()
         self.topo.add_frame()
 
         kk_f, jj_f = self.topo.edges_forw()
@@ -288,16 +302,27 @@ class DPVO:
             padE(hn, np.uint8), valid, d2p, pairs, meta,
             ops[0].astype(np.uint16), ops[1].astype(np.uint16), ops[2].astype(np.uint16),
         )
+        _t0 = _time.perf_counter()
+        self.phase_times["pack"] += _t0 - _tp
         self.state, out_small = self.steps.frame_step(
             self.params, self.state, image_dev, jnp.asarray(buf), self._next_key(),
         )
-        # leave the result in flight; kick off the device->host copy now
-        # so it lands while the device runs the next frame
-        try:
-            out_small.copy_to_host_async()
-        except AttributeError:
-            pass
-        self._inflight = out_small
+        self.phase_times["dispatch"] += _time.perf_counter() - _t0
+        self.phase_times["frames"] += 1
+        # leave the result in flight, fetched by a background thread so
+        # the ~30ms tunnel round trip overlaps the next frame's host
+        # work + device compute (NOTE: jax's copy_to_host_async wedges
+        # on this platform — a plain np.asarray on a thread does not)
+        import threading
+
+        box = {}
+
+        def fetch():
+            box["v"] = np.asarray(out_small)
+
+        th = threading.Thread(target=fetch, daemon=True)
+        th.start()
+        self._inflight = (th, box)
 
         if self.long_term_lc is not None:  # ref dpvo.py:1027-1029
             self.long_term_lc.attempt_loop_closure(self.n)
@@ -306,8 +331,10 @@ class DPVO:
     def _drain_inflight(self):
         if self._inflight is None:
             return
-        out_small = np.asarray(self._inflight)
+        th, box = self._inflight
         self._inflight = None
+        th.join()
+        out_small = box["v"]
         self._keyframe_decide(float(out_small[0]), pose_pair=out_small[1:].reshape(2, 7))
 
     def _append(self, kk, jj, defer_zero: bool = False):

@@ -378,7 +378,8 @@ class StepFunctions:
         net, delta, weight = self.update_op.apply(
             params["update"], net, ctx, corr,
             es["ix"], es["jx"], es["mask_ix"], es["mask_jx"],
-            es["kk_seg"], es["ij_seg"], es["valid"], num_segments=cfg.E_MAX,
+            es["kk_seg"], es["ij_seg"], es["valid"],
+            num_segments=cfg.M_OPT_MAX, num_ij_segments=2 * self.PAIR_MAX,
         )
         c = cfg.P // 2
         target = coords[:, c, c, :].astype(jnp.float32) + delta

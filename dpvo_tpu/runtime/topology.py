@@ -200,6 +200,8 @@ class Topology:
 
         _, kk_seg = np.unique(kk, return_inverse=True)
         _, ij_seg = np.unique(ii * np.int64(1 << 20) + jj, return_inverse=True)
+        # SoftAgg over (ii,jj) pairs is sized 2*PAIR_MAX in the jit step
+        assert len(ij_seg) == 0 or ij_seg.max() < 2048, ij_seg.max()
         ix, jx, hp, hn = neighbors(kk, jj)
 
         uniq = np.unique(kk)
