@@ -120,18 +120,29 @@ def assemble_normal_eqs(
     B6 = Jw.T @ Jw  # [6W, 6W] (ref ba.py:190-229, one MXU pass)
     v6 = Jall.reshape(2 * E, W * 6).T @ (w * r).reshape(2 * E)
 
-    # --- pose-depth coupling E (ref ba.py:234-235): the depth axis is
-    # the one true segment reduction (kd), done once over [E, 6W] ---
+    # --- depth-indexed reductions (ref ba.py:234-248): pose-depth
+    # coupling E, diagonal depth Hessian C, and gradient u share the kd
+    # segmentation, so they ride ONE one-hot matmul on the MXU instead
+    # of three scatter passes (TPU scatters cost ~1-2ms of latency
+    # each; HIGHEST precision keeps f32-grade accumulation) ---
     UE = jnp.einsum("erk,er->ek", Jall, w * Jz[:, :, 0])
-    Em = jax.ops.segment_sum(UE, prob.kd, num_segments=Md)  # [Md, 6W]
-
-    # --- diagonal depth Hessian C and gradients (ref ba.py:240-248) ---
-    cu = jnp.stack(
-        [jnp.sum(w * Jz[:, :, 0] ** 2, axis=-1), jnp.sum(w * Jz[:, :, 0] * r, axis=-1)],
-        axis=-1,
+    payload = jnp.concatenate(
+        [
+            UE,
+            jnp.sum(w * Jz[:, :, 0] ** 2, axis=-1, keepdims=True),
+            jnp.sum(w * Jz[:, :, 0] * r, axis=-1, keepdims=True),
+        ],
+        axis=1,
+    )  # [E, 6W+2]
+    oh_d = (prob.kd[:, None] == jnp.arange(Md, dtype=prob.kd.dtype)[None, :]).astype(
+        jnp.float32
     )
-    cu = jax.ops.segment_sum(cu, prob.kd, num_segments=Md)
-    C, u = cu[:, 0], cu[:, 1]
+    sums = jax.lax.dot_general(
+        oh_d, payload, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [Md, 6W+2]
+    Em = sums[:, : payload.shape[1] - 2]
+    C, u = sums[:, -2], sums[:, -1]
 
     E6 = Em.T  # [6W, Md]
     return B6, E6, C, u, v6
@@ -190,15 +201,20 @@ def ba_delta(
 
 
 def apply_pose_retr(poses, dX, t0, nfree, W: int):
-    """poses[t0+l] <- Exp(dX[l]) * poses[t0+l] for l < nfree (masked)."""
+    """poses[t0+l] <- Exp(dX[l]) * poses[t0+l] for l < nfree (masked).
+
+    Scatter-free: the free window is contiguous, so clamp its start into
+    the buffer (shifting the mask/update rows by the clamp amount) and
+    use dynamic slices — TPU scatters cost ~1-2ms of latency each."""
     N = poses.shape[0]
-    idx = t0 + jnp.arange(W)
-    mask = (jnp.arange(W) < nfree)[:, None]
-    cur = poses.at[idx].get(mode="clip")
-    new = se3.retr(cur, dX)
-    # mode="drop": padded window slots beyond the buffer are discarded
-    # (avoids duplicate scatter indices clobbering the last real pose)
-    return poses.at[idx].set(jnp.where(mask, new, cur), mode="drop")
+    We = min(W, N)  # tiny test problems can have N < W
+    t0c = jnp.clip(t0, 0, N - We)
+    s = t0 - t0c
+    cur = jax.lax.dynamic_slice(poses, (t0c, 0), (We, poses.shape[1]))
+    r = jnp.arange(We)
+    mask = ((r >= s) & (r < s + nfree))[:, None]
+    new = se3.retr(cur, jnp.roll(dX, s, axis=0)[:We])
+    return jax.lax.dynamic_update_slice(poses, jnp.where(mask, new, cur), (t0c, 0))
 
 
 def apply_depth_retr(depths, dZ, clamp_mode: str = "runtime"):

@@ -424,7 +424,9 @@ class StepFunctions:
             W=cfg.W_OPT_MAX, Md=cfg.M_OPT_MAX, iterations=cfg.BA_ITERS,
             ep=cfg.BA_EP, lm=cfg.BA_LM, res_clip=cfg.BA_RESIDUAL_CLIP, clamp_mode="runtime",
         )
-        patches = state.patches.at[es["dense2patch"], 2].set(depths[:, None, None], mode="drop")
+        patches = state.patches.at[es["dense2patch"], 2].set(
+            depths[:, None, None], mode="drop"
+        )
         return state._replace(poses=poses, patches=patches)
 
     def _update_noba(self, params, state: VOState, es: Dict[str, Any]) -> VOState:
@@ -546,7 +548,9 @@ class StepFunctions:
             W=cfg.GBA_POSES_MAX, Md=cfg.GBA_DEPTHS_MAX, iterations=cfg.GBA_ITERS,
             ep=cfg.BA_EP, lm=cfg.BA_LM, res_clip=cfg.BA_RESIDUAL_CLIP, clamp_mode="runtime",
         )
-        patches = state.patches.at[ges["dense2patch"], 2].set(depths[:, None, None], mode="drop")
+        patches = state.patches.at[ges["dense2patch"], 2].set(
+            depths[:, None, None], mode="drop"
+        )
         return state._replace(poses=poses, patches=patches)
 
     def _apply_pgo(self, state: VOState, poses_new, scales, m) -> VOState:
