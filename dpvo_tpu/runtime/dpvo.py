@@ -283,11 +283,9 @@ class DPVO:
 
         ix, jx, hp, hn = _neighbors(topo.kk, topo.jj)
         d2p = np.full(cfg.M_OPT_MAX, cfg.BUFFER_SIZE * M, np.int64)
-        uniq = np.unique(topo.kk)
+        uniq, kk_seg = np.unique(topo.kk, return_inverse=True)
         d2p[: len(uniq)] = uniq
-        pairs = np.full(self.steps.PAIR_MAX, np.int64(1) << 30, np.int64)
-        upair = np.unique(topo.ii * 2048 + topo.jj)
-        pairs[: len(upair)] = upair
+        _, ij_seg = np.unique(topo.ii * 2048 + topo.jj, return_inverse=True)
 
         def padE(a, dt):
             out = np.zeros(E, dt)
@@ -299,7 +297,8 @@ class DPVO:
         buf = self.steps.pack_frame(
             self._framebuf, padE(topo.kk, np.int32), padE(topo.jj, np.uint16),
             padE(ix, np.uint16), padE(jx, np.uint16), padE(hp, np.uint8),
-            padE(hn, np.uint8), valid, d2p, pairs, meta,
+            padE(hn, np.uint8), valid, d2p, padE(kk_seg, np.uint16),
+            padE(ij_seg, np.uint16), meta,
             ops[0].astype(np.uint16), ops[1].astype(np.uint16), ops[2].astype(np.uint16),
         )
         _t0 = _time.perf_counter()

@@ -84,7 +84,12 @@ class StepFunctions:
             ("jx", 2 * E, np.uint16),
             ("flags", E, np.uint8),     # bit0 mask_ix, bit1 mask_jx, bit2 valid
             ("d2p", 4 * cfg.M_OPT_MAX, np.int32),
-            ("pairs", 4 * self.PAIR_MAX, np.int32),
+            # dense group ids come precomputed from the host (np.unique
+            # inverse) — a device-side searchsorted over E elements costs
+            # several ms on TPU, the u16 rows ~0.1 ms of (overlapped)
+            # transfer
+            ("kk_seg", 2 * E, np.uint16),
+            ("ij_seg", 2 * E, np.uint16),
             ("meta", 4 * meta_len, np.float32),
             ("perm", 2 * E, np.uint16),
             ("src", 2 * E, np.uint16),
@@ -99,7 +104,7 @@ class StepFunctions:
         return layout, off
 
     def pack_frame(self, buf, kk, jj, ix, jx, mask_ix, mask_jx, valid,
-                   d2p, pairs, meta, perm, src, dst):
+                   d2p, kk_seg, ij_seg, meta, perm, src, dst):
         """Fill the preallocated uint8 frame buffer (host side). The
         image ships separately so its (much larger) upload can start the
         moment the frame arrives, before the keyframe decision fixes the
@@ -124,7 +129,8 @@ class StepFunctions:
                  | (np.asarray(valid, np.uint8) << 2))
         put("flags", flags)
         put("d2p", d2p)
-        put("pairs", pairs)
+        put("kk_seg", kk_seg)
+        put("ij_seg", ij_seg)
         put("meta", meta)
         put("perm", perm)
         put("src", src)
@@ -151,7 +157,8 @@ class StepFunctions:
         jx = get("jx", jnp.uint16, 2).astype(jnp.int32)
         flags = get("flags", jnp.uint8, 1)
         d2p = get("d2p", jnp.int32, 4)[: cfg.M_OPT_MAX]
-        pairs = get("pairs", jnp.int32, 4)[: self.PAIR_MAX]
+        kk_seg = get("kk_seg", jnp.uint16, 2).astype(jnp.int32)
+        ij_seg = get("ij_seg", jnp.uint16, 2).astype(jnp.int32)
         meta = get("meta", jnp.float32, 4)[: 24 + 2 * M]
         perm = get("perm", jnp.uint16, 2).astype(jnp.int32)
         src = get("src", jnp.uint16, 2).astype(jnp.int32)
@@ -164,8 +171,8 @@ class StepFunctions:
             kk=kk,
             ii1=kk % (M * self.pmem),
             jj1=jj % cfg.MEM,
-            kk_seg=jnp.searchsorted(d2p, kk).astype(jnp.int32),
-            ij_seg=jnp.searchsorted(pairs, ii * 2048 + jj).astype(jnp.int32),
+            kk_seg=kk_seg,
+            ij_seg=ij_seg,
             ix=ix,
             jx=jx,
             mask_ix=(flags & 1) > 0,
