@@ -106,6 +106,15 @@ def main():
                 save_params(f"checkpoints/{args.name}_{step+1:06d}.npz", jax.device_get(params))
                 print(f"saved checkpoint at {step+1}")
 
+    # orbax runs an async checkpoint thread; close it before interpreter
+    # teardown or the process aborts in the thread destructor
+    mngr.close()
+    logger.close()
+    print("training loop done")
+
 
 if __name__ == "__main__":
     main()
+    # checkpoints and logs are flushed above; skip interpreter teardown,
+    # which aborts inside native library destructors on some platforms
+    os._exit(0)

@@ -49,6 +49,11 @@ class Logger:
             line = " ".join(f"{k}={v:.4g}" for k, v in means.items() if k != "step")
             print(f"[{self.step}] {line}")
 
+    def close(self):
+        self.jsonl.close()
+        if self.tb:
+            self.tb.close()
+
     def write_dict(self, results: Dict[str, float]):
         results = dict(results, step=self.step)
         self.jsonl.write(json.dumps(results) + "\n")
