@@ -23,7 +23,7 @@ import numpy as np
 def main():
     import jax
 
-    from dpvo_tpu.config import Config
+    from dpvo_tpu.config import load_config
     from dpvo_tpu.runtime import DPVO
     from dpvo_tpu.utils.synthetic import PlaneScene
 
@@ -31,7 +31,12 @@ def main():
     n_warmup = 30  # covers init (frame 8) + all steady-state jit compiles
     n_bench = 100
 
-    cfg = Config()  # default.yaml-equivalent knobs
+    import os
+
+    # the published-results profile (96 patches etc), like the reference's
+    # eval scripts run
+    yaml = os.path.join(os.path.dirname(os.path.abspath(__file__)), "config", "default.yaml")
+    cfg = load_config(yaml if os.path.exists(yaml) else None, {})
     scene = PlaneScene(ht=ht, wd=wd, n_frames=n_warmup + n_bench, depth=4.0, seed=7)
     frames = [scene.render(t) for t in range(n_warmup + n_bench)]
 

@@ -29,7 +29,9 @@ def umeyama_alignment(x: np.ndarray, y: np.ndarray, with_scale: bool = True):
     if np.linalg.det(u) * np.linalg.det(vt) < 0:
         s_mat[-1, -1] = -1
     R = u @ s_mat @ vt
-    c = (np.diag(d) @ s_mat).trace() / sigma_x if with_scale else 1.0
+    # a degenerate (zero-variance) estimate has no defined scale; fall
+    # back to rigid alignment so the error stays finite (and large)
+    c = (np.diag(d) @ s_mat).trace() / sigma_x if with_scale and sigma_x > 1e-12 else 1.0
     t = mean_y - c * R @ mean_x
     return R, t, c
 
