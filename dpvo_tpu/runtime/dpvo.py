@@ -122,7 +122,9 @@ class DPVO:
     def __call__(self, tstamp, image: np.ndarray, intrinsics: np.ndarray):
         """Track one frame. image [H,W,3] uint8 RGB; intrinsics [4]."""
         cfg = self.cfg
-        if (self.n + 1) >= cfg.BUFFER_SIZE:
+        # the last KEYFRAME_INDEX+5 rows are reserved: the keyframe-cull
+        # shift moves a statically-sized window that must stay in-bounds
+        if (self.n + 1) >= cfg.BUFFER_SIZE - (cfg.KEYFRAME_INDEX + 5):
             raise RuntimeError(
                 f"Buffer size {cfg.BUFFER_SIZE} too small; increase BUFFER_SIZE"
             )

@@ -269,30 +269,59 @@ class StepFunctions:
             net=net, target=target, weight=weight, target_inac=ti, weight_inac=wi
         )
 
+        span = cfg.KEYFRAME_INDEX + 4  # static bound on n_after - k + 1
+
         def shift(state):
-            N = state.poses.shape[0]
-            idx = jnp.arange(N)
-            frame_perm = jnp.where((idx >= k) & (idx <= n_after), idx + 1, idx)
-            patch_perm = (frame_perm[:, None] * M + jnp.arange(M)).reshape(-1)
-            span = cfg.KEYFRAME_INDEX + 4  # static bound on n_after - k + 1
-            f = k + jnp.arange(span)
-            fok = f <= n_after
-            pmem_perm = jnp.arange(self.pmem).at[
-                jnp.where(fok, f % self.pmem, self.pmem)
-            ].set((f + 1) % self.pmem, mode="drop")
-            mem_perm = jnp.arange(cfg.MEM).at[
-                jnp.where(fok, f % cfg.MEM, cfg.MEM)
-            ].set((f + 1) % cfg.MEM, mode="drop")
-            pslots = (pmem_perm[:, None] * M + jnp.arange(M)[None, :]).reshape(-1)
+            # Only rows k..n_after move (one up); n_after - k + 1 is
+            # statically bounded by span, and the host guard keeps
+            # k + span inside every buffer (dpvo.__call__ reserves the
+            # last span rows), so each buffer updates a small dynamic
+            # window instead of gathering the whole array (the fmap/gmap
+            # buffers are 100s of MB; the window is a few MB).
+
+            def shift_contig(buf, row_k, rows_per):
+                w = span * rows_per
+                win = jax.lax.dynamic_slice_in_dim(buf, row_k * rows_per + rows_per, w, 0)
+                return jax.lax.dynamic_update_slice_in_dim(buf, win, row_k * rows_per, 0)
+
+            def shift_circular(buf, period, rows_per):
+                # slot (f % period) <- slot ((f+1) % period) for
+                # f = k..n_after; iterate i statically, mask f > n_after.
+                # Reads of step i come from slots later than all prior
+                # writes (requires period > span + 1), so sequential
+                # updates are safe.
+                for i in range(span):
+                    f = k + i
+                    s_src = ((f + 1) % period) * rows_per
+                    s_dst = (f % period) * rows_per
+                    src = jax.lax.dynamic_slice_in_dim(buf, s_src, rows_per, 0)
+                    cur = jax.lax.dynamic_slice_in_dim(buf, s_dst, rows_per, 0)
+                    win = jnp.where(f <= n_after, src, cur)
+                    buf = jax.lax.dynamic_update_slice_in_dim(buf, win, s_dst, 0)
+                return buf
+
+            def perm_circular(buf, period, rows_per):
+                # tiny circular memories (test configs) can wrap within
+                # the span; fall back to a full permutation gather
+                f = k + jnp.arange(span)
+                fok = f <= n_after
+                perm = jnp.arange(period).at[
+                    jnp.where(fok, f % period, period)
+                ].set((f + 1) % period, mode="drop")
+                rows = (perm[:, None] * rows_per + jnp.arange(rows_per)[None, :]).reshape(-1)
+                return buf[rows] if rows_per > 1 else buf[perm]
+
+            circ = (shift_circular
+                    if min(self.pmem, cfg.MEM) > span + 1 else perm_circular)
             return state._replace(
-                poses=state.poses[frame_perm],
-                patches=state.patches[patch_perm],
-                intrinsics=state.intrinsics[frame_perm],
-                colors=state.colors[frame_perm],
-                imap=state.imap[pslots],
-                gmap=state.gmap[pslots],
-                fmap1=state.fmap1[mem_perm],
-                fmap2=state.fmap2[mem_perm],
+                poses=shift_contig(state.poses, k, 1),
+                patches=shift_contig(state.patches, k, M),
+                intrinsics=shift_contig(state.intrinsics, k, 1),
+                colors=shift_contig(state.colors, k, 1),
+                imap=circ(state.imap, self.pmem, M),
+                gmap=circ(state.gmap, self.pmem, M),
+                fmap1=circ(state.fmap1, cfg.MEM, 1),
+                fmap2=circ(state.fmap2, cfg.MEM, 1),
             )
 
         return jax.lax.cond(k >= 0, shift, lambda s: s, state)
