@@ -35,7 +35,16 @@ def main():
     parser.add_argument("--save_trajectory", action="store_true")
     parser.add_argument("--name", type=str, default="result")
     parser.add_argument("--opts", nargs="+", default=[])
+    parser.add_argument("--device", type=str, default="",
+                        help="jax platform override (e.g. 'cpu'); on this "
+                             "platform env JAX_PLATFORMS is ignored, only a "
+                             "pre-init config update switches backends")
     args = parser.parse_args()
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
 
     from dpvo_tpu.config import load_config
     from dpvo_tpu.data.stream import spawn_reader
@@ -44,6 +53,9 @@ def main():
 
     overrides = dict(zip(args.opts[0::2], args.opts[1::2]))
     overrides.setdefault("BUFFER_SIZE", args.buffer)
+    if args.device == "cpu":
+        # the XLA CPU backend has no bf16 dot thunk
+        overrides.setdefault("MIXED_PRECISION", False)
     cfg = load_config(args.config if os.path.exists(args.config) else None, overrides)
 
     queue, proc = spawn_reader(args.imagedir, args.calib, args.stride, args.skip)

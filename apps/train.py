@@ -40,6 +40,18 @@ def main():
     p.add_argument("--wd", type=int, default=640)
     p.add_argument("--mesh", default=None, help="e.g. 2,4 for (data,edge)")
     p.add_argument("--ckpt_every", type=int, default=10000)
+    p.add_argument("--npz_every", type=int, default=1000,
+                   help="inference-weight snapshot cadence (npz, cheap)")
+    p.add_argument("--log_every", type=int, default=10,
+                   help="metric fetch cadence; every step would add a "
+                        "device->host round trip per step on slow links")
+    p.add_argument("--init_encoders", default=None, metavar="DIR",
+                   help="directory with the reference fnet.onnx/inet.onnx; "
+                        "initializes the Patchifier encoders from them "
+                        "(the update operator still trains from scratch)")
+    p.add_argument("--freeze_encoders", action="store_true",
+                   help="zero encoder updates (train the update operator "
+                        "against fixed reference features)")
     args = p.parse_args()
 
     import orbax.checkpoint as ocp
@@ -53,7 +65,23 @@ def main():
 
     cfg = Config()
     params = init_params(cfg, jax.random.PRNGKey(0), ht=args.ht, wd=args.wd)
+    if args.init_encoders:
+        from dpvo_tpu.runtime.torch_port import port_reference_encoders
+
+        params = port_reference_encoders(
+            params,
+            os.path.join(args.init_encoders, "fnet.onnx"),
+            os.path.join(args.init_encoders, "inet.onnx"),
+        )
+        print(f"encoders initialized from {args.init_encoders}")
     tx, schedule = make_optimizer(lr=args.lr, total_steps=args.steps, clip=args.clip)
+    if args.freeze_encoders:
+        import optax
+
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            {"patchifier": "freeze", "update": "train"},
+        )
     opt_state = tx.init(params)
 
     ckpt_dir = os.path.abspath(f"checkpoints/{args.name}")
@@ -83,28 +111,50 @@ def main():
     logger = Logger(args.name)
     key = jax.random.PRNGKey(1234)
 
+    def device_feed():
+        """One-batch-ahead upload pipeline: jnp.asarray dispatches the
+        host->device transfer asynchronously, so the next batch rides
+        the link while the current step computes (the axon tunnel is
+        ~25 MB/s; without this the feed serializes with the step)."""
+        pend = None
+        while True:
+            b = next(batches)
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            if mesh:
+                b = {k: jax.device_put(v, data_sharding(mesh, v.ndim)) for k, v in b.items()}
+            if pend is not None:
+                yield pend
+            pend = b
+
+    from dpvo_tpu.runtime.weights import save_params
+
     ctx = mesh_context(mesh) if mesh else mesh_context(None)
     with ctx:
         step_fn = make_train_step(cfg, tx, STEPS=args.unroll,
                                   flow_weight=args.flow_weight, pose_weight=args.pose_weight)
+        feed = device_feed()
+        import time as _time
+        tlast = _time.time()
         for step in range(start_step, args.steps):
-            batch = next(batches)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if mesh:
-                batch = {k: jax.device_put(v, data_sharding(mesh, v.ndim)) for k, v in batch.items()}
+            batch = next(feed)
             key, sub = jax.random.split(key)
             so = step < 1000 and args.ckpt is None and start_step == 0
             params, opt_state, metrics = step_fn(params, opt_state, batch, sub, structure_only=so)
-            logger.push({k: float(v) for k, v in metrics.items()})
+            if (step + 1) % args.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}  # device sync
+                now = _time.time()
+                m["steps_per_s"] = args.log_every / max(now - tlast, 1e-9)
+                tlast = now
+                logger.push(m)
 
+            if (step + 1) % args.npz_every == 0:
+                save_params(f"checkpoints/{args.name}_{step+1:06d}.npz", jax.device_get(params))
+                print(f"npz snapshot at {step+1}", flush=True)
             if (step + 1) % args.ckpt_every == 0:
                 mngr.save(step + 1, args=ocp.args.StandardSave(
                     {"params": jax.device_get(params), "opt_state": jax.device_get(opt_state)}))
                 mngr.wait_until_finished()
-                from dpvo_tpu.runtime.weights import save_params
-
-                save_params(f"checkpoints/{args.name}_{step+1:06d}.npz", jax.device_get(params))
-                print(f"saved checkpoint at {step+1}")
+                print(f"saved checkpoint at {step+1}", flush=True)
 
     # orbax runs an async checkpoint thread; close it before interpreter
     # teardown or the process aborts in the thread destructor

@@ -1,0 +1,262 @@
+"""O(edges)-memory global bundle adjustment (EfficentE analog).
+
+The windowed solver (ba/solver.py) turns every pose/depth-indexed
+reduction into dense one-hot matmuls — ideal at W=16 poses, catastrophic
+at global-BA scale: with Eg edges and Md depth vars it materializes an
+[Eg, Md] one-hot (3.2 GB at round-1 capacities) and a dense pose-depth
+coupling E6 [6W, Md]. The reference solves the same problem with the
+block-sparse CUDA kernels in dpvo/fastba/block_e.cu:43-299, which never
+materialize E: the reduced camera system S = B - E Q E^T is accumulated
+from per-depth-variable outer products.
+
+This module is the TPU-native equivalent:
+
+  - The HOST (which owns all topology anyway, runtime/topology.py)
+    enumerates the sparsity pattern once per global-BA event:
+      rows    : one entry per (edge, free-pose) incidence,
+      entries : distinct (depth k, pose a) pairs ("F"), each row mapped
+                to its entry,
+      kpairs  : all ordered entry pairs sharing a depth var — exactly
+                the nonzero 6x6 blocks of E Q E^T.
+  - The DEVICE computes per-edge residuals/Jacobians, reduces rows into
+    per-entry couplings F[f] = sum_{rows r -> f} J_r^T w Jz  (one
+    segment_sum), forms the kpair outer products Q_k F[f1] F[f2]^T in
+    bounded chunks, and segment-sums them straight into the dense
+    reduced system S [6W, 6W]. Everything is static-shaped and masked;
+    no [Eg, Md] or [6W, Md] tensor ever exists.
+
+Memory: O(Eg + rows + kpairs + (6W)^2). Compute per GN iteration: a few
+segment_sums plus one dense Cholesky of S.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpvo_tpu.ba.solver import (
+    BAProblem,
+    _center_residuals,
+    apply_depth_retr,
+    apply_pose_retr,
+)
+
+
+def build_sparse_indices(
+    ii: np.ndarray,
+    jj: np.ndarray,
+    kd: np.ndarray,
+    t0: int,
+    nfree: int,
+    *,
+    W: int,
+    R_MAX: int,
+    KP_MAX: int,
+) -> Dict[str, np.ndarray]:
+    """Host-side sparsity enumeration for one global-BA topology.
+
+    ii/jj/kd: the VALID edges only (un-padded). Returns padded device-
+    ready index arrays; see module docstring for the row/entry/kpair
+    roles. All arrays int32 except the masks.
+    """
+    E = len(ii)
+    pi = ii.astype(np.int64) - t0
+    pj = jj.astype(np.int64) - t0
+
+    # rows: (edge, local pose, side) for every free-pose incidence
+    fi = (pi >= 0) & (pi < nfree)
+    fj = (pj >= 0) & (pj < nfree)
+    re = np.concatenate([np.nonzero(fi)[0], np.nonzero(fj)[0]])
+    ra = np.concatenate([pi[fi], pj[fj]])
+    rs = np.concatenate([np.zeros(fi.sum(), bool), np.ones(fj.sum(), bool)])
+    rk = kd[re].astype(np.int64)
+    R = len(re)
+    assert R <= R_MAX, f"GBA rows {R} exceed capacity {R_MAX}"
+
+    # entries: distinct (depth, pose) pairs; rows map onto them
+    key = rk * W + ra
+    ent_key, r2f = np.unique(key, return_inverse=True)
+    F = len(ent_key)
+    fk = (ent_key // W).astype(np.int32)
+    fa = (ent_key % W).astype(np.int32)
+
+    # kpairs: ordered entry pairs within each depth group (entries are
+    # sorted by key = k*W + a, so depth groups are contiguous runs);
+    # vectorized per-group meshgrid via repeat offsets
+    if F:
+        edges_ = np.concatenate([[0], np.nonzero(np.diff(fk))[0] + 1, [F]])
+        sizes = np.diff(edges_)          # entries per depth group
+        gstart = edges_[:-1]
+        sq = sizes * sizes
+        starts = np.repeat(gstart, sq)
+        m = np.repeat(sizes, sq)
+        off = np.repeat(np.cumsum(sq) - sq, sq)
+        loc = np.arange(sq.sum()) - off  # position within the group's pair block
+        p1 = (starts + loc // m).astype(np.int64)
+        p2 = (starts + loc % m).astype(np.int64)
+    else:
+        sizes = np.zeros(0, np.int64)
+        sq = sizes
+        p1 = p2 = np.zeros(0, np.int64)
+    KP = len(p1)
+    if KP > KP_MAX:
+        # keep the smallest depth groups intact; dropping E Q E^T blocks
+        # only makes S more conservative (larger), never indefinite
+        order = np.argsort(np.repeat(sizes, sq), kind="stable")
+        keep = order[:KP_MAX]
+        print(f"warning: GBA kpairs {KP} exceed {KP_MAX}; dropping "
+              f"{KP - KP_MAX} couplings of the largest depth groups")
+        p1, p2 = p1[keep], p2[keep]
+        KP = KP_MAX
+
+    def pad(a, n, dt=np.int32):
+        out = np.zeros(n, dt)
+        out[: len(a)] = a
+        return out
+
+    return dict(
+        re=pad(re, R_MAX), ra=pad(ra, R_MAX), rs=pad(rs, R_MAX, bool),
+        r2f=pad(r2f, R_MAX), rmask=pad(np.ones(R, bool), R_MAX, bool),
+        fk=pad(fk, R_MAX), fa=pad(fa, R_MAX),
+        fmask=pad(np.ones(F, bool), R_MAX, bool),
+        p1=pad(p1, KP_MAX), p2=pad(p2, KP_MAX),
+        kpmask=pad(np.ones(KP, bool), KP_MAX, bool),
+    )
+
+
+def _pair_chunks(total: int, chunk: int) -> int:
+    return -(-total // chunk)
+
+
+@partial(jax.jit, static_argnames=("W", "Md", "iterations", "ep", "lm", "res_clip"))
+def gba(
+    poses,
+    patch_ctr,
+    intrinsics,
+    target,
+    weight,
+    valid,
+    ii,
+    jj,
+    kd,
+    t0,
+    nfree,
+    bounds,
+    lmbda,
+    idx: Dict[str, jax.Array],
+    *,
+    W: int,
+    Md: int,
+    iterations: int = 2,
+    ep: float = 1.0,
+    lm: float = 1e-4,
+    res_clip: float = 128.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sparse-assembled global BA; returns (poses', depths').
+
+    Same contract as ba_solver.ba with clamp_mode="runtime", plus the
+    host-built `idx` sparsity (build_sparse_indices).
+    """
+    depths = patch_ctr[:, 2]
+    re, ra, rs, r2f = idx["re"], idx["ra"], idx["rs"], idx["r2f"]
+    rmask = idx["rmask"]
+    fk, fa, fmask = idx["fk"], idx["fa"], idx["fmask"]
+    p1, p2, kpmask = idx["p1"], idx["p2"], idx["kpmask"]
+    KP = p1.shape[0]
+    PAIR_CHUNK = min(KP, 1 << 20)
+
+    for _ in range(iterations):
+        prob = BAProblem(
+            poses,
+            jnp.concatenate([patch_ctr[:, :2], depths[:, None]], -1),
+            intrinsics, target, weight, valid, ii, jj, kd, t0, nfree,
+        )
+        r, w, Ji, Jj, Jz = _center_residuals(prob, bounds, res_clip)
+        r = r.astype(jnp.float32)
+        w = w.astype(jnp.float32)
+        Ji, Jj, Jz = (x.astype(jnp.float32) for x in (Ji, Jj, Jz))
+        Jz = Jz[:, :, 0]  # [E,2]
+
+        # depth-side diagonal + gradient (pure segment sums over kd)
+        C = jax.ops.segment_sum(jnp.sum(w * Jz * Jz, -1), kd, Md)
+        u = jax.ops.segment_sum(jnp.sum(w * Jz * r, -1), kd, Md)
+        Q = 1.0 / (C + lmbda)
+
+        # pose-side B and v from per-edge 6x6 blocks (free-masked)
+        pi = ii - t0
+        pj = jj - t0
+        fi = ((pi >= 0) & (pi < nfree)).astype(jnp.float32)
+        fj = ((pj >= 0) & (pj < nfree)).astype(jnp.float32)
+        pic = jnp.clip(pi, 0, W - 1)
+        pjc = jnp.clip(pj, 0, W - 1)
+
+        def blk(Ja, Jb, m):
+            return jnp.einsum("nc,ncd,nce->nde", w * m[:, None], Ja, Jb)
+
+        vals = jnp.concatenate([
+            blk(Ji, Ji, fi), blk(Ji, Jj, fi * fj),
+            blk(Jj, Ji, fj * fi), blk(Jj, Jj, fj),
+        ])
+        segs = jnp.concatenate([
+            pic * W + pic, pic * W + pjc, pjc * W + pic, pjc * W + pjc,
+        ])
+        B = jax.ops.segment_sum(vals, segs, W * W)  # [W*W,6,6]
+
+        wr = w * r
+        vvals = jnp.concatenate([
+            jnp.einsum("nc,ncd->nd", wr * fi[:, None], Ji),
+            jnp.einsum("nc,ncd->nd", wr * fj[:, None], Jj),
+        ])
+        v = jax.ops.segment_sum(vvals, jnp.concatenate([pic, pjc]), W)  # [W,6]
+
+        # per-row pose-depth couplings -> per-(k, pose) entries F
+        Jr = jnp.where(rs[:, None, None], Jj[re], Ji[re])  # [R,2,6]
+        ekr = jnp.einsum("rc,rcd->rd", (w * Jz)[re], Jr) * rmask[:, None]
+        Fe = jax.ops.segment_sum(ekr, r2f, fk.shape[0])  # [F,6]
+
+        # E Q E^T accumulated into S via bounded pair chunks
+        def pair_chunk(c, S):
+            s = c * PAIR_CHUNK
+            q1 = jax.lax.dynamic_slice_in_dim(p1, s, PAIR_CHUNK)
+            q2 = jax.lax.dynamic_slice_in_dim(p2, s, PAIR_CHUNK)
+            qm = jax.lax.dynamic_slice_in_dim(kpmask, s, PAIR_CHUNK)
+            coef = Q[fk[q1]] * qm
+            pv = coef[:, None, None] * (Fe[q1][:, :, None] * Fe[q2][:, None, :])
+            seg = fa[q1] * W + fa[q2]
+            return S - jax.ops.segment_sum(pv, seg, W * W)
+
+        S = jax.lax.fori_loop(0, _pair_chunks(KP, PAIR_CHUNK), pair_chunk, B)
+        S = S.reshape(W, W, 6, 6).transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
+        # truncated kpairs can drop one of a symmetric block pair
+        S = 0.5 * (S + S.T)
+
+        # y = v - E Q u, accumulated per entry
+        equ = Fe * (Q[fk] * u[fk] * fmask)[:, None]
+        y = (v - jax.ops.segment_sum(equ, fa, W)).reshape(6 * W)
+
+        # damping + fixed/padded-row masking (ref ba_cuda.cu:519-563)
+        S = S + jnp.diag(lm * jnp.diag(S) + ep)
+        free_row = (jnp.arange(W) < nfree).repeat(6)
+        S = S * (free_row[:, None] & free_row[None, :]) + jnp.diag(
+            (~free_row).astype(jnp.float32)
+        )
+        y = y * free_row
+
+        L, lower = jax.scipy.linalg.cho_factor(S)
+        dX = jax.scipy.linalg.cho_solve((L, lower), y)
+        bad = jnp.any(jnp.isnan(dX)) | jnp.any(jnp.isinf(dX))
+        dX = jnp.where(bad, 0.0, dX).reshape(W, 6)
+
+        # dZ = Q (u - E^T dX), the E^T dX reduction riding the entries
+        et_dx = jax.ops.segment_sum(
+            jnp.einsum("fd,fd->f", Fe, dX[fa]) * fmask, fk, Md
+        )
+        dZ = jnp.where(bad, 0.0, Q * (u - et_dx))
+
+        poses = apply_pose_retr(poses, dX, t0, nfree, W)
+        depths = apply_depth_retr(depths, dZ, "runtime")
+    return poses, depths

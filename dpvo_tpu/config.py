@@ -63,12 +63,16 @@ class Config:
     # steady-state active edges with default knobs is ~30k: each patch
     # accrues ~(2*PATCH_LIFETIME-1) edges and lives REMOVAL_WINDOW frames
     E_MAX: int = 36864                 # max active edges (padded)
-    E_INAC_MAX: int = 32768            # max inactive (stored) edges
+    E_INAC_MAX: int = 131072           # max inactive (stored) edges
     W_OPT_MAX: int = 16                # padded sliding-window pose count
     M_OPT_MAX: int = 2048              # padded depth-variable count (window BA)
-    GBA_POSES_MAX: int = 512           # padded global-BA pose count
-    GBA_DEPTHS_MAX: int = 16384        # padded global-BA depth count
-    GBA_EDGES_MAX: int = 49152         # padded global-BA edge count
+    # global BA (sparse-assembled, ba/gba_sparse.py — O(edges) memory,
+    # so capacities can cover ~135 keyframes of full edge history and
+    # 1024 free poses; the reference's block_e.cu plays the same role)
+    GBA_POSES_MAX: int = 1024          # padded global-BA pose count
+    GBA_DEPTHS_MAX: int = 65536        # padded global-BA depth count
+    GBA_EDGES_MAX: int = 172032        # padded global-BA edge count
+    GBA_KPAIRS_MAX: int = 3145728      # padded E Q E^T coupling-block count
     PMEM: int = 36                     # circular patch-feature memory (ref dpvo/dpvo.py:97)
     MEM: int = 36                      # circular frame-feature memory
 

@@ -24,11 +24,17 @@ class SyntheticClipDataset:
         self.rng = np.random.default_rng(seed)
 
     def sample(self):
-        from dpvo_tpu.utils.synthetic import PlaneScene
+        from dpvo_tpu.utils.synthetic import MultiPlaneScene
 
         seed = int(self.rng.integers(1 << 30))
-        scene = PlaneScene(ht=self.ht, wd=self.wd, n_frames=self.n_frames,
-                           depth=float(self.rng.uniform(2.5, 6.0)), seed=seed)
+        # randomized motion magnitude stands in for the reference's
+        # flow-bounded covisibility sampling (base.py:84-169 fmin/fmax)
+        scene = MultiPlaneScene(
+            ht=self.ht, wd=self.wd, n_frames=self.n_frames,
+            depth=float(self.rng.uniform(5.0, 12.0)), seed=seed,
+            tstep=float(self.rng.uniform(0.025, 0.09)),
+            rstep=float(self.rng.uniform(0.002, 0.01)),
+        )
         images = np.stack([scene.render(t) for t in range(self.n_frames)]).astype(np.float32)
         ys, xs = np.mgrid[0 : self.ht, 0 : self.wd]
         disps = np.stack(
@@ -67,10 +73,13 @@ def batch_iterator(dataset, batch_size: int = 1, augment: bool = True, seed: int
                 poses.append(po)
                 disps.append(ds)
                 intrs.append(it)
+            # compact dtypes: the feed path may cross a slow host->device
+            # link (axon tunnel ~25 MB/s); images are uint8-range and
+            # disps tolerate f16 — vo_forward casts on device
             q.put({
-                "images": np.stack(imgs).astype(np.float32),
+                "images": np.clip(np.stack(imgs), 0, 255).astype(np.uint8),
                 "poses": np.stack(poses).astype(np.float32),
-                "disps": np.stack(disps).astype(np.float32),
+                "disps": np.stack(disps).astype(np.float16),
                 "intrinsics": np.stack(intrs).astype(np.float32),
             })
 

@@ -43,6 +43,7 @@ def evaluate_sequences(
 ):
     """sequences: name -> frame-iterable factory; gt: name -> (t, xyz)."""
     results = {}
+    all_trials = []
     for seq, factory in sequences.items():
         if seq not in gt:
             print(f"skip {seq}: no groundtruth")
@@ -56,15 +57,15 @@ def evaluate_sequences(
             errs.append(float(err))
             print(f"{seq} trial {trial}: ATE {err:.6f}", flush=True)
         results[seq] = float(np.median(errs))
+        all_trials.extend(errs)
         print(f"{seq}: median ATE {results[seq]:.6f}  (trials: {sorted(errs)})")
 
     if results:
         vals = np.array(list(results.values()))
         avg = float(vals.mean())
-        # AUC as in evaluate_tartan.py:137-146: fraction of the [0, 1m]
-        # threshold range where the error is below threshold
-        thresholds = np.linspace(0.01, 1.0, 100)
-        auc = float((vals[None, :] < thresholds[:, None]).mean())
+        # AUC exactly as the reference (evaluate_tartan.py:137-146):
+        # mean over every trial of max(1 - ATE, 0)
+        auc = float(np.maximum(1.0 - np.array(all_trials), 0.0).mean())
         print(f"\n=== {title} (ATE-RMSE, m; Sim3-aligned) ===")
         for k, v in results.items():
             print(f"{k:24s} {v:.6f}")

@@ -23,7 +23,7 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-from dpvo_tpu.lie import se3
+from dpvo_tpu.lie import se3, sim3
 
 MIN_DEPTH_Z = 0.2  # reference clamps Z below this (projective_ops.py:6,43)
 
@@ -74,15 +74,25 @@ def transform(
     (Ji [E,2,6], Jj [E,2,6], Jz [E,2,1]) evaluated at the patch center
     — identical closed forms to the reference (projective_ops.py:71-108
     and fastba/ba_cuda.cu:313-333, up to the shared adjoint transport).
+
+    Poses may be SE(3) [N,7] or Sim(3) [N,8] (t, q, s); the Sim(3)
+    branch mirrors the reference's 7-column Ja (projective_ops.py:90-96)
+    and returns Ji/Jj of shape [E,2,7].
     """
+    is_sim3 = poses.shape[-1] == 8
+    grp = sim3 if is_sim3 else se3
     X0 = iproj(patches[kk], intrinsics[ii])  # [E,P,P,4]
 
-    Gij = se3.mul(poses[jj], se3.inv(poses[ii]))  # [E,7]
+    Gij = grp.mul(poses[jj], grp.inv(poses[ii]))  # [E,7 or 8]
     if tonly:
         # translation-only variant used by flow_mag (ref :62-63)
-        Gij = se3.make(se3.t_of(Gij), se3.q_of(Gij) * 0 + jnp.asarray([0, 0, 0, 1.0], Gij.dtype))
+        unit_q = se3.q_of(Gij) * 0 + jnp.asarray([0, 0, 0, 1.0], Gij.dtype)
+        if is_sim3:
+            Gij = sim3.make(sim3.t_of(Gij), unit_q, jnp.ones_like(sim3.s_of(Gij)))
+        else:
+            Gij = se3.make(se3.t_of(Gij), unit_q)
 
-    X1 = se3.act4(Gij[:, None, None, :], X0)  # [E,P,P,4]
+    X1 = grp.act4(Gij[:, None, None, :], X0)  # [E,P,P,4]
     x1 = proj(X1, intrinsics[jj])
 
     P = patches.shape[-1]
@@ -99,16 +109,28 @@ def transform(
     o = jnp.zeros_like(Hc)
     d = jnp.where(jnp.abs(Zc) > MIN_DEPTH_Z, 1.0 / jnp.where(jnp.abs(Zc) > MIN_DEPTH_Z, Zc, 1.0), 0.0)
 
-    # Ja: d X1 / d xi_j for the 4 homogeneous coords (ref :83-88)
-    Ja = jnp.stack(
-        [
-            Hc, o, o, o, Zc, -Yc,
-            o, Hc, o, -Zc, o, Xc,
-            o, o, Hc, Yc, -Xc, o,
-            o, o, o, o, o, o,
-        ],
-        axis=-1,
-    ).reshape(-1, 4, 6)
+    # Ja: d X1 / d xi_j for the 4 homogeneous coords (ref :83-96);
+    # the Sim(3) variant carries a 7th (scale) column = (X, Y, Z, 0)
+    if is_sim3:
+        Ja = jnp.stack(
+            [
+                Hc, o, o, o, Zc, -Yc, Xc,
+                o, Hc, o, -Zc, o, Xc, Yc,
+                o, o, Hc, Yc, -Xc, o, Zc,
+                o, o, o, o, o, o, o,
+            ],
+            axis=-1,
+        ).reshape(-1, 4, 7)
+    else:
+        Ja = jnp.stack(
+            [
+                Hc, o, o, o, Zc, -Yc,
+                o, Hc, o, -Zc, o, Xc,
+                o, o, Hc, Yc, -Xc, o,
+                o, o, o, o, o, o,
+            ],
+            axis=-1,
+        ).reshape(-1, 4, 6)
 
     # Jp: d proj / d X1 (ref :98-101)
     Jp = jnp.stack(
@@ -119,11 +141,11 @@ def transform(
         axis=-1,
     ).reshape(-1, 2, 4)
 
-    Jj = Jp @ Ja  # [E,2,6]
-    Ji = -se3.adjT(Gij[:, None, :], Jj)  # (ref :104)
+    Jj = Jp @ Ja  # [E,2,6 or 7]
+    Ji = -grp.adjT(Gij[:, None, :], Jj)  # (ref :104)
 
     # Jz: d proj / d inverse-depth = Jp @ (G_ij matrix column 3) (ref :106)
-    Tcol = se3.to_matrix(Gij)[..., :, 3]  # [E,4]
+    Tcol = grp.to_matrix(Gij)[..., :, 3]  # [E,4]
     Jz = (Jp @ Tcol[..., None])  # [E,2,1]
 
     return x1, val, (Ji, Jj, Jz)

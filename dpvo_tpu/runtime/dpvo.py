@@ -240,9 +240,20 @@ class DPVO:
 
         kk_f, jj_f = self.topo.edges_forw()
         kk_b, jj_b = self.topo.edges_back()
-        start, count = self._append(
-            np.concatenate([kk_f, kk_b]), np.concatenate([jj_f, jj_b]), defer_zero=True
-        )
+        kk_new = np.concatenate([kk_f, kk_b])
+
+        # depth-variable capacity guard: LOOP_CLOSURE proximity edges are
+        # exempt from window retirement and can reference old patches, so
+        # unique(kk) can exceed M_OPT_MAX — retire edges on the oldest
+        # patches into the inactive store first (global BA still sees them)
+        uniq_after = np.unique(np.concatenate([self.topo.kk, kk_new]))
+        over = len(uniq_after) - cfg.M_OPT_MAX
+        if over > 0:
+            drop = uniq_after[:over]  # sorted ascending = oldest patches
+            print(f"warning: M_OPT_MAX={cfg.M_OPT_MAX} reached; retiring edges on {over} oldest patches")
+            self.state = self._remove_store(np.isin(self.topo.kk, drop))
+
+        start, count = self._append(kk_new, np.concatenate([jj_f, jj_b]), defer_zero=True)
 
         t0 = max(self.n - cfg.OPTIMIZATION_WINDOW, 1)
         nfree = max(self.n - t0, 0)
@@ -286,8 +297,12 @@ class DPVO:
         ix, jx, hp, hn = _neighbors(topo.kk, topo.jj)
         d2p = np.full(cfg.M_OPT_MAX, cfg.BUFFER_SIZE * M, np.int64)
         uniq, kk_seg = np.unique(topo.kk, return_inverse=True)
+        assert len(uniq) <= cfg.M_OPT_MAX, (len(uniq), cfg.M_OPT_MAX)
         d2p[: len(uniq)] = uniq
-        _, ij_seg = np.unique(topo.ii * 2048 + topo.jj, return_inverse=True)
+        # same pair hash + bound as topology.edge_set (a narrower
+        # multiplier would silently merge SoftAgg groups at BUFFER_SIZE>2048)
+        _, ij_seg = np.unique(topo.ii * np.int64(1 << 20) + topo.jj, return_inverse=True)
+        assert len(ij_seg) == 0 or ij_seg.max() < 2048, ij_seg.max()
 
         def padE(a, dt):
             out = np.zeros(E, dt)
@@ -399,13 +414,22 @@ class DPVO:
         cfg = self.cfg
         ges, pos, ninac = self.topo.global_edge_set()
         self.state, _ = self.steps.normalize(self.state, jnp.int32(self.n), jnp.int32(self.m))
-        t0 = int(min(ges["ii"][: ges["count"]].min(), self.n - 1)) if ges["count"] else 0
+        E = ges["count"]
+        t0 = int(min(ges["ii"][:E].min(), self.n - 1)) if E else 0
         t0 = max(t0, max(self.n - cfg.GBA_POSES_MAX, 0))
         pos_pad = np.zeros(cfg.GBA_EDGES_MAX, np.int32)
         pos_pad[:ninac] = pos
+        from dpvo_tpu.ba.gba_sparse import build_sparse_indices
+
+        idx = build_sparse_indices(
+            ges["ii"][:E], ges["jj"][:E], ges["kd"][:E], t0, self.n - t0,
+            W=cfg.GBA_POSES_MAX, R_MAX=2 * cfg.GBA_EDGES_MAX,
+            KP_MAX=cfg.GBA_KPAIRS_MAX,
+        )
         self.state = self.steps.global_ba(
             self.params, self.state, ges, jnp.asarray(pos_pad), jnp.int32(ninac),
             jnp.int32(t0), jnp.int32(self.n - t0),
+            {k: jnp.asarray(v) for k, v in idx.items()},
         )
         self.ran_global_ba.add(self.n)
 
@@ -536,11 +560,29 @@ class DPVO:
         traj[t] = out
         return out
 
+    def _rescale_deltas(self, scales: np.ndarray):
+        """Rescale stored relative-pose deltas of culled frames after a
+        Sim(3) PGO so terminate() interpolates with corrected scale
+        (ref loop_closure/long_term.py _rescale_deltas): chase each
+        delta to its root keyframe timestamp and scale the translation
+        by that keyframe's scale."""
+        t2s = {self.tstamps[i]: float(scales[i])
+               for i in range(min(self.n, len(scales)))}
+        for t, (t0, dP) in self.delta.items():
+            t_src = t
+            while t_src in self.delta:
+                t_src, _ = self.delta[t_src]
+            s1 = t2s.get(t_src, 1.0)
+            dP = np.asarray(dP, np.float32).copy()
+            dP[:3] *= s1
+            self.delta[t] = (t0, dP)
+
     def apply_pgo_result(self, corrected: np.ndarray):
         """Rewrite poses [m,8] (Sim3: t, q, s) from a finished PGO and
         rescale the affected inverse depths (one device call)."""
         self._flush_pending()
         m = len(corrected)
+        self._rescale_deltas(corrected[:, 7])
         N = self.cfg.BUFFER_SIZE
         poses_new = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32), (N, 1))
         q = corrected[:, 3:7]

@@ -15,6 +15,7 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from dpvo_tpu.ba import gba_sparse
 from dpvo_tpu.ba import solver as ba_solver
 from dpvo_tpu.config import Config
 from dpvo_tpu.geom import projective as pops
@@ -558,9 +559,10 @@ class StepFunctions:
         poses = jnp.where(fvalid[:, None], re, poses)
         return state._replace(poses=poses, patches=patches), s
 
-    def _global_ba(self, params, state: VOState, ges: Dict[str, Any], inac_pos, n_inac, t0, nfree) -> VOState:
+    def _global_ba(self, params, state: VOState, ges: Dict[str, Any], inac_pos, n_inac, t0, nfree, idx: Dict[str, Any]) -> VOState:
         """Full-history BA over active + inactive edges
-        (ref dpvo.py:695-716 __run_global_BA)."""
+        (ref dpvo.py:695-716 __run_global_BA), sparse-assembled
+        (ba/gba_sparse.py) so memory stays O(edges) at full capacity."""
         cfg = self.cfg
         Eg = cfg.GBA_EDGES_MAX
         # assemble target/weight: first n_inac from the inactive ring, rest active
@@ -578,11 +580,11 @@ class StepFunctions:
         ctr = state.patches[ges["dense2patch"], :, cfg.P // 2, cfg.P // 2]
         fx, fy, cx, cy = state.intrinsics[0]
         bounds = jnp.stack([-cfg.BA_BORDER, -cfg.BA_BORDER, 2 * cx + cfg.BA_BORDER, 2 * cy + cfg.BA_BORDER])
-        poses, depths = ba_solver.ba(
+        poses, depths = gba_sparse.gba(
             state.poses, ctr, state.intrinsics, target, weight, ges["valid"],
             ges["ii"], ges["jj"], ges["kd"], t0, nfree, bounds, jnp.float32(cfg.BA_LMBDA),
-            W=cfg.GBA_POSES_MAX, Md=cfg.GBA_DEPTHS_MAX, iterations=cfg.GBA_ITERS,
-            ep=cfg.BA_EP, lm=cfg.BA_LM, res_clip=cfg.BA_RESIDUAL_CLIP, clamp_mode="runtime",
+            idx, W=cfg.GBA_POSES_MAX, Md=cfg.GBA_DEPTHS_MAX, iterations=cfg.GBA_ITERS,
+            ep=cfg.BA_EP, lm=cfg.BA_LM, res_clip=cfg.BA_RESIDUAL_CLIP,
         )
         patches = state.patches.at[ges["dense2patch"], 2].set(
             depths[:, None, None], mode="drop"

@@ -158,9 +158,12 @@ class LongTermLoopClosure:
         if self.result is not None:
             return
         r = self.retrieval
-        if r.n_frames() <= n:
+        # __call__ hashed frame n before the tracker bumped it, so the DB
+        # holds exactly n frames here; only bail if it is BEHIND (a
+        # `<= n` guard would always fire and silently disable classic LC)
+        if r.n_frames() < n or r.n_frames() == 0:
             return
-        cand = r.detect_loop(min(n, r.n_frames() - 1))
+        cand = r.detect_loop(min(n, r.n_frames()) - 1)
         if cand is None:
             return
         q, rr = cand

@@ -106,3 +106,42 @@ def test_point_cloud_reprojects():
     x = pops.proj(Xc, intr[ix])
     expected = jnp.stack([patches[:, 0], patches[:, 1]], axis=-1)
     assert np.allclose(x, expected, atol=1e-3)
+
+
+def test_transform_sim3_branch():
+    """Sim(3) poses [N,8]: scale-1 matches SE(3); Jacobians match
+    autodiff including the 7th (scale) column (ref projective_ops.py:90-96)."""
+    from dpvo_tpu.lie import sim3
+
+    poses, patches, intr = make_scene(jax.random.PRNGKey(4))
+    E = patches.shape[0]
+    ii = jnp.zeros(E, jnp.int32)
+    jj = jnp.full((E,), 2, jnp.int32)
+    kk = jnp.arange(E, dtype=jnp.int32)
+    c = patches.shape[-1] // 2
+
+    poses8 = sim3.from_se3(poses)
+    # scale-1 Sim3 coincides with SE3
+    coords7 = pops.transform(poses, patches, intr, ii, jj, kk)
+    coords8 = pops.transform(poses8, patches, intr, ii, jj, kk)
+    assert np.allclose(coords7, coords8, atol=1e-4)
+
+    # non-trivial scales: analytic Jacobians vs autodiff
+    scales = jnp.array([1.0, 1.1, 0.9, 1.2, 0.8])
+    poses8 = sim3.make(sim3.t_of(poses8), sim3.q_of(poses8), scales)
+    coords, val, (Ji, Jj, Jz) = pops.transform(poses8, patches, intr, ii, jj, kk, jacobian=True)
+    assert Ji.shape == (E, 2, 7) and Jj.shape == (E, 2, 7)
+
+    def f_posej(xi):
+        p2 = poses8.at[2].set(sim3.retr(poses8[2], xi))
+        return pops.transform(p2, patches, intr, ii, jj, kk)[:, c, c, :]
+
+    Jj_num = jax.jacfwd(f_posej)(jnp.zeros(7))
+    assert np.allclose(Jj, Jj_num, atol=1e-3, rtol=1e-3)
+
+    def f_posei(xi):
+        p2 = poses8.at[0].set(sim3.retr(poses8[0], xi))
+        return pops.transform(p2, patches, intr, ii, jj, kk)[:, c, c, :]
+
+    Ji_num = jax.jacfwd(f_posei)(jnp.zeros(7))
+    assert np.allclose(Ji, Ji_num, atol=1e-3, rtol=1e-3)
