@@ -132,6 +132,120 @@ def _pair_chunks(total: int, chunk: int) -> int:
     return -(-total // chunk)
 
 
+def _iteration(poses, depths, patch_ctr, intrinsics, target, weight, valid,
+               ii, jj, kd, t0, nfree, bounds, lmbda, idx,
+               *, W, Md, ep, lm, res_clip, axis=None):
+    """One sparse Gauss-Newton iteration; returns (poses', depths').
+
+    With ``axis`` set (inside shard_map), the row/entry/pair reductions
+    are partial over the local shard and psum'd over that axis; the
+    (cheap) edge-side terms are computed replicated."""
+    prob = BAProblem(
+        poses,
+        jnp.concatenate([patch_ctr[:, :2], depths[:, None]], -1),
+        intrinsics, target, weight, valid, ii, jj, kd, t0, nfree,
+    )
+    r, w, Ji, Jj, Jz = _center_residuals(prob, bounds, res_clip)
+    r = r.astype(jnp.float32)
+    w = w.astype(jnp.float32)
+    Ji, Jj, Jz = (x.astype(jnp.float32) for x in (Ji, Jj, Jz))
+    Jz = Jz[:, :, 0]  # [E,2]
+
+    def allsum(x):
+        return jax.lax.psum(x, axis) if axis else x
+
+    # depth-side diagonal + gradient (replicated edges: no psum)
+    C = jax.ops.segment_sum(jnp.sum(w * Jz * Jz, -1), kd, Md)
+    u = jax.ops.segment_sum(jnp.sum(w * Jz * r, -1), kd, Md)
+    Q = 1.0 / (C + lmbda)
+
+    # pose-side B and v from per-edge 6x6 blocks (free-masked)
+    pi = ii - t0
+    pj = jj - t0
+    fi = ((pi >= 0) & (pi < nfree)).astype(jnp.float32)
+    fj = ((pj >= 0) & (pj < nfree)).astype(jnp.float32)
+    pic = jnp.clip(pi, 0, W - 1)
+    pjc = jnp.clip(pj, 0, W - 1)
+
+    def blk(Ja, Jb, m):
+        return jnp.einsum("nc,ncd,nce->nde", w * m[:, None], Ja, Jb)
+
+    vals = jnp.concatenate([
+        blk(Ji, Ji, fi), blk(Ji, Jj, fi * fj),
+        blk(Jj, Ji, fj * fi), blk(Jj, Jj, fj),
+    ])
+    segs = jnp.concatenate([
+        pic * W + pic, pic * W + pjc, pjc * W + pic, pjc * W + pjc,
+    ])
+    B = jax.ops.segment_sum(vals, segs, W * W)  # [W*W,6,6]
+
+    wr = w * r
+    vvals = jnp.concatenate([
+        jnp.einsum("nc,ncd->nd", wr * fi[:, None], Ji),
+        jnp.einsum("nc,ncd->nd", wr * fj[:, None], Jj),
+    ])
+    v = jax.ops.segment_sum(vvals, jnp.concatenate([pic, pjc]), W)  # [W,6]
+
+    # per-row pose-depth couplings -> per-(k, pose) entries F
+    re, rs, r2f, rmask = idx["re"], idx["rs"], idx["r2f"], idx["rmask"]
+    fk, fa, fmask = idx["fk"], idx["fa"], idx["fmask"]
+    p1, p2, kpmask = idx["p1"], idx["p2"], idx["kpmask"]
+    F = fk.shape[0]
+    Jr = jnp.where(rs[:, None, None], Jj[re], Ji[re])  # [R,2,6]
+    ekr = jnp.einsum("rc,rcd->rd", (w * Jz)[re], Jr) * rmask[:, None]
+    Fe = allsum(jax.ops.segment_sum(ekr, r2f, F))  # [F,6]
+
+    # E Q E^T accumulated into S via bounded pair chunks
+    KP = p1.shape[0]
+    PAIR_CHUNK = min(KP, 1 << 20)
+
+    def pair_chunk(c, S):
+        s = c * PAIR_CHUNK
+        q1 = jax.lax.dynamic_slice_in_dim(p1, s, PAIR_CHUNK)
+        q2 = jax.lax.dynamic_slice_in_dim(p2, s, PAIR_CHUNK)
+        qm = jax.lax.dynamic_slice_in_dim(kpmask, s, PAIR_CHUNK)
+        coef = Q[fk[q1]] * qm
+        pv = coef[:, None, None] * (Fe[q1][:, :, None] * Fe[q2][:, None, :])
+        seg = fa[q1] * W + fa[q2]
+        return S - jax.ops.segment_sum(pv, seg, W * W)
+
+    Spairs = jax.lax.fori_loop(
+        0, _pair_chunks(KP, PAIR_CHUNK), pair_chunk, jnp.zeros_like(B))
+    S = B + allsum(Spairs)
+    S = S.reshape(W, W, 6, 6).transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
+    # truncated kpairs can drop one of a symmetric block pair
+    S = 0.5 * (S + S.T)
+
+    # y = v - E Q u, accumulated per entry
+    equ = Fe * (Q[fk] * u[fk] * fmask)[:, None]
+    # NOTE: entry arrays (fk/fa/fmask) are replicated even under
+    # sharding, so this reduction needs no psum
+    y = (v - jax.ops.segment_sum(equ, fa, W)).reshape(6 * W)
+
+    # damping + fixed/padded-row masking (ref ba_cuda.cu:519-563)
+    S = S + jnp.diag(lm * jnp.diag(S) + ep)
+    free_row = (jnp.arange(W) < nfree).repeat(6)
+    S = S * (free_row[:, None] & free_row[None, :]) + jnp.diag(
+        (~free_row).astype(jnp.float32)
+    )
+    y = y * free_row
+
+    L, lower = jax.scipy.linalg.cho_factor(S)
+    dX = jax.scipy.linalg.cho_solve((L, lower), y)
+    bad = jnp.any(jnp.isnan(dX)) | jnp.any(jnp.isinf(dX))
+    dX = jnp.where(bad, 0.0, dX).reshape(W, 6)
+
+    # dZ = Q (u - E^T dX), the E^T dX reduction riding the entries
+    et_dx = jax.ops.segment_sum(
+        jnp.einsum("fd,fd->f", Fe, dX[fa]) * fmask, fk, Md
+    )
+    dZ = jnp.where(bad, 0.0, Q * (u - et_dx))
+
+    poses = apply_pose_retr(poses, dX, t0, nfree, W)
+    depths = apply_depth_retr(depths, dZ, "runtime")
+    return poses, depths
+
+
 @partial(jax.jit, static_argnames=("W", "Md", "iterations", "ep", "lm", "res_clip"))
 def gba(
     poses,
@@ -162,101 +276,77 @@ def gba(
     host-built `idx` sparsity (build_sparse_indices).
     """
     depths = patch_ctr[:, 2]
-    re, ra, rs, r2f = idx["re"], idx["ra"], idx["rs"], idx["r2f"]
-    rmask = idx["rmask"]
-    fk, fa, fmask = idx["fk"], idx["fa"], idx["fmask"]
-    p1, p2, kpmask = idx["p1"], idx["p2"], idx["kpmask"]
-    KP = p1.shape[0]
-    PAIR_CHUNK = min(KP, 1 << 20)
-
     for _ in range(iterations):
-        prob = BAProblem(
-            poses,
-            jnp.concatenate([patch_ctr[:, :2], depths[:, None]], -1),
-            intrinsics, target, weight, valid, ii, jj, kd, t0, nfree,
+        poses, depths = _iteration(
+            poses, depths, patch_ctr, intrinsics, target, weight, valid,
+            ii, jj, kd, t0, nfree, bounds, lmbda, idx,
+            W=W, Md=Md, ep=ep, lm=lm, res_clip=res_clip,
         )
-        r, w, Ji, Jj, Jz = _center_residuals(prob, bounds, res_clip)
-        r = r.astype(jnp.float32)
-        w = w.astype(jnp.float32)
-        Ji, Jj, Jz = (x.astype(jnp.float32) for x in (Ji, Jj, Jz))
-        Jz = Jz[:, :, 0]  # [E,2]
-
-        # depth-side diagonal + gradient (pure segment sums over kd)
-        C = jax.ops.segment_sum(jnp.sum(w * Jz * Jz, -1), kd, Md)
-        u = jax.ops.segment_sum(jnp.sum(w * Jz * r, -1), kd, Md)
-        Q = 1.0 / (C + lmbda)
-
-        # pose-side B and v from per-edge 6x6 blocks (free-masked)
-        pi = ii - t0
-        pj = jj - t0
-        fi = ((pi >= 0) & (pi < nfree)).astype(jnp.float32)
-        fj = ((pj >= 0) & (pj < nfree)).astype(jnp.float32)
-        pic = jnp.clip(pi, 0, W - 1)
-        pjc = jnp.clip(pj, 0, W - 1)
-
-        def blk(Ja, Jb, m):
-            return jnp.einsum("nc,ncd,nce->nde", w * m[:, None], Ja, Jb)
-
-        vals = jnp.concatenate([
-            blk(Ji, Ji, fi), blk(Ji, Jj, fi * fj),
-            blk(Jj, Ji, fj * fi), blk(Jj, Jj, fj),
-        ])
-        segs = jnp.concatenate([
-            pic * W + pic, pic * W + pjc, pjc * W + pic, pjc * W + pjc,
-        ])
-        B = jax.ops.segment_sum(vals, segs, W * W)  # [W*W,6,6]
-
-        wr = w * r
-        vvals = jnp.concatenate([
-            jnp.einsum("nc,ncd->nd", wr * fi[:, None], Ji),
-            jnp.einsum("nc,ncd->nd", wr * fj[:, None], Jj),
-        ])
-        v = jax.ops.segment_sum(vvals, jnp.concatenate([pic, pjc]), W)  # [W,6]
-
-        # per-row pose-depth couplings -> per-(k, pose) entries F
-        Jr = jnp.where(rs[:, None, None], Jj[re], Ji[re])  # [R,2,6]
-        ekr = jnp.einsum("rc,rcd->rd", (w * Jz)[re], Jr) * rmask[:, None]
-        Fe = jax.ops.segment_sum(ekr, r2f, fk.shape[0])  # [F,6]
-
-        # E Q E^T accumulated into S via bounded pair chunks
-        def pair_chunk(c, S):
-            s = c * PAIR_CHUNK
-            q1 = jax.lax.dynamic_slice_in_dim(p1, s, PAIR_CHUNK)
-            q2 = jax.lax.dynamic_slice_in_dim(p2, s, PAIR_CHUNK)
-            qm = jax.lax.dynamic_slice_in_dim(kpmask, s, PAIR_CHUNK)
-            coef = Q[fk[q1]] * qm
-            pv = coef[:, None, None] * (Fe[q1][:, :, None] * Fe[q2][:, None, :])
-            seg = fa[q1] * W + fa[q2]
-            return S - jax.ops.segment_sum(pv, seg, W * W)
-
-        S = jax.lax.fori_loop(0, _pair_chunks(KP, PAIR_CHUNK), pair_chunk, B)
-        S = S.reshape(W, W, 6, 6).transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
-        # truncated kpairs can drop one of a symmetric block pair
-        S = 0.5 * (S + S.T)
-
-        # y = v - E Q u, accumulated per entry
-        equ = Fe * (Q[fk] * u[fk] * fmask)[:, None]
-        y = (v - jax.ops.segment_sum(equ, fa, W)).reshape(6 * W)
-
-        # damping + fixed/padded-row masking (ref ba_cuda.cu:519-563)
-        S = S + jnp.diag(lm * jnp.diag(S) + ep)
-        free_row = (jnp.arange(W) < nfree).repeat(6)
-        S = S * (free_row[:, None] & free_row[None, :]) + jnp.diag(
-            (~free_row).astype(jnp.float32)
-        )
-        y = y * free_row
-
-        L, lower = jax.scipy.linalg.cho_factor(S)
-        dX = jax.scipy.linalg.cho_solve((L, lower), y)
-        bad = jnp.any(jnp.isnan(dX)) | jnp.any(jnp.isinf(dX))
-        dX = jnp.where(bad, 0.0, dX).reshape(W, 6)
-
-        # dZ = Q (u - E^T dX), the E^T dX reduction riding the entries
-        et_dx = jax.ops.segment_sum(
-            jnp.einsum("fd,fd->f", Fe, dX[fa]) * fmask, fk, Md
-        )
-        dZ = jnp.where(bad, 0.0, Q * (u - et_dx))
-
-        poses = apply_pose_retr(poses, dX, t0, nfree, W)
-        depths = apply_depth_retr(depths, dZ, "runtime")
     return poses, depths
+
+
+def dist_gba(
+    mesh,
+    poses,
+    patch_ctr,
+    intrinsics,
+    target,
+    weight,
+    valid,
+    ii,
+    jj,
+    kd,
+    t0,
+    nfree,
+    bounds,
+    lmbda,
+    idx: Dict[str, jax.Array],
+    *,
+    W: int,
+    Md: int,
+    iterations: int = 2,
+    ep: float = 1.0,
+    lm: float = 1e-4,
+    res_clip: float = 128.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Distributed sparse global BA over a device mesh (SURVEY §2.9).
+
+    The dominant global-BA work — the E Q E^T coupling-pair outer
+    products and the row reductions — shards over the mesh's 'edge'
+    axis; each device accumulates a partial reduced camera system that
+    is psum'd over ICI, and the (small) dense solve runs redundantly on
+    every device. The per-edge Jacobian terms are cheap and computed
+    replicated. Bitwise-matches the single-device `gba` up to psum
+    reduction order."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rep = P()
+    shardspec = P("edge")
+    idx_specs = {
+        # rows + pairs shard; entry tables stay replicated
+        "re": shardspec, "ra": shardspec, "rs": shardspec, "r2f": shardspec,
+        "rmask": shardspec,
+        "fk": rep, "fa": rep, "fmask": rep,
+        "p1": shardspec, "p2": shardspec, "kpmask": shardspec,
+    }
+
+    def body(poses, patch_ctr, intrinsics, target, weight, valid,
+             ii, jj, kd, t0, nfree, bounds, lmbda, idx):
+        depths = patch_ctr[:, 2]
+        for _ in range(iterations):
+            poses, depths = _iteration(
+                poses, depths, patch_ctr, intrinsics, target, weight, valid,
+                ii, jj, kd, t0, nfree, bounds, lmbda, idx,
+                W=W, Md=Md, ep=ep, lm=lm, res_clip=res_clip, axis="edge",
+            )
+        return poses, depths
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(rep,) * 13 + (idx_specs,),
+        out_specs=(rep, rep),
+        check_rep=False,
+    )
+    return fn(poses, patch_ctr, intrinsics, target, weight, valid,
+              ii, jj, kd, t0, nfree, bounds, lmbda, idx)

@@ -58,32 +58,43 @@ def export_network(params: Dict, cfg: Config, ht: int, wd: int, outdir: str,
     D = cfg.DIM
 
     def update_fn(net, ctx, corr, ix, jx, mask_ix, mask_jx, kk_seg, ij_seg, valid):
+        # segment counts match the runtime call convention
+        # (runtime/steps.py _edge_forward) so DPVO can inline this
+        # artifact in place of the flax module
         return steps.update_op.apply(
             params["update"], net, ctx, corr, ix, jx, mask_ix, mask_jx,
-            kk_seg, ij_seg, valid, num_segments=E,
+            kk_seg, ij_seg, valid, num_segments=cfg.M_OPT_MAX,
+            num_ij_segments=2 * steps.PAIR_MAX,
         )
 
-    f32 = jnp.float32
-    specs = (
-        jax.ShapeDtypeStruct((E, D), fdt),                 # net
-        jax.ShapeDtypeStruct((E, D), fdt),                 # ctx
-        jax.ShapeDtypeStruct((E, cfg.CORR_WIDTH), fdt),    # corr
-        jax.ShapeDtypeStruct((E,), jnp.int32),             # ix
-        jax.ShapeDtypeStruct((E,), jnp.int32),             # jx
-        jax.ShapeDtypeStruct((E,), jnp.bool_),             # mask_ix
-        jax.ShapeDtypeStruct((E,), jnp.bool_),             # mask_jx
-        jax.ShapeDtypeStruct((E,), jnp.int32),             # kk_seg
-        jax.ShapeDtypeStruct((E,), jnp.int32),             # ij_seg
-        jax.ShapeDtypeStruct((E,), jnp.bool_),             # valid
-    )
-    exp_up = jexport.export(jax.jit(update_fn))(*specs)
+    def specs(n):
+        return (
+            jax.ShapeDtypeStruct((n, D), fdt),                 # net
+            jax.ShapeDtypeStruct((n, D), fdt),                 # ctx
+            jax.ShapeDtypeStruct((n, cfg.CORR_WIDTH), fdt),    # corr
+            jax.ShapeDtypeStruct((n,), jnp.int32),             # ix
+            jax.ShapeDtypeStruct((n,), jnp.int32),             # jx
+            jax.ShapeDtypeStruct((n,), jnp.bool_),             # mask_ix
+            jax.ShapeDtypeStruct((n,), jnp.bool_),             # mask_jx
+            jax.ShapeDtypeStruct((n,), jnp.int32),             # kk_seg
+            jax.ShapeDtypeStruct((n,), jnp.int32),             # ij_seg
+            jax.ShapeDtypeStruct((n,), jnp.bool_),             # valid
+        )
+
+    exp_up = jexport.export(jax.jit(update_fn))(*specs(E))
     with open(os.path.join(outdir, "update.shlo"), "wb") as f:
         f.write(exp_up.serialize())
+    # second artifact at the motion-probe edge count (the runtime's only
+    # other update shape, dpvo.py _motion_probe / steps._probe)
+    exp_pr = jexport.export(jax.jit(update_fn))(*specs(cfg.PATCHES_PER_FRAME))
+    with open(os.path.join(outdir, "update_probe.shlo"), "wb") as f:
+        f.write(exp_pr.serialize())
 
     save_params(os.path.join(outdir, "params.npz"), params)
     meta = dict(ht=ht, wd=wd, e_max=E, dim=cfg.DIM, fdim=cfg.FDIM,
                 corr_width=cfg.CORR_WIDTH, patches_per_frame=cfg.PATCHES_PER_FRAME,
-                mixed_precision=bool(cfg.MIXED_PRECISION))
+                mixed_precision=bool(cfg.MIXED_PRECISION),
+                m_opt_max=cfg.M_OPT_MAX, pair_max=steps.PAIR_MAX)
     with open(os.path.join(outdir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
     return outdir
@@ -97,16 +108,23 @@ def load_exported(outdir: str):
         patchify = jexport.deserialize(f.read())
     with open(os.path.join(outdir, "update.shlo"), "rb") as f:
         update = jexport.deserialize(f.read())
-    return ExportedVONet(patchify, update, meta)
+    probe_path = os.path.join(outdir, "update_probe.shlo")
+    update_probe = None
+    if os.path.exists(probe_path):
+        with open(probe_path, "rb") as f:
+            update_probe = jexport.deserialize(f.read())
+    return ExportedVONet(patchify, update, meta, update_probe)
 
 
 class ExportedVONet:
     """Drop-in network built from serialized StableHLO artifacts (same
     role as the fork's ONNXVONet, onnx_network.py:17-147)."""
 
-    def __init__(self, patchify_exp, update_exp, meta):
+    def __init__(self, patchify_exp, update_exp, meta, update_probe_exp=None):
         self._patchify = jax.jit(patchify_exp.call)
         self._update = jax.jit(update_exp.call)
+        self._update_probe = (jax.jit(update_probe_exp.call)
+                              if update_probe_exp is not None else None)
         self.meta = meta
         self.e_max = meta["e_max"]
 
@@ -114,5 +132,13 @@ class ExportedVONet:
         return self._patchify(jnp.asarray(image_u8, jnp.uint8), key)
 
     def update(self, net, ctx, corr, ix, jx, mask_ix, mask_jx, kk_seg, ij_seg, valid):
-        return self._update(net, ctx, corr, ix, jx, mask_ix, mask_jx,
-                            kk_seg, ij_seg, valid)
+        fn = self._update
+        if net.shape[0] != self.e_max:
+            if self._update_probe is None or net.shape[0] != self.meta.get(
+                "patches_per_frame"
+            ):
+                raise ValueError(
+                    f"no exported update artifact for edge count {net.shape[0]}"
+                )
+            fn = self._update_probe
+        return fn(net, ctx, corr, ix, jx, mask_ix, mask_jx, kk_seg, ij_seg, valid)

@@ -69,7 +69,10 @@ def act4(g, X):
 def _coeffs(theta_sq):
     """Taylor-safe (A, B, C) = (sin th/th, (1-cos th)/th^2, (th - sin th)/th^3)."""
     theta = jnp.sqrt(jnp.maximum(theta_sq, 0.0))
-    small = theta < 1e-4
+    # switch at 0.05 rad: below it the closed forms hit f32 catastrophic
+    # cancellation (1 - cos(2e-4) rounds to 0 -> B = 0 -> inf downstream
+    # in log's A/(2B)) while the series are already ~theta^4 accurate
+    small = theta < 0.05
     safe_sq = jnp.where(small, 1.0, theta_sq)
     safe_th = jnp.sqrt(safe_sq)
     A = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(safe_th) / safe_th)
@@ -102,7 +105,7 @@ def log(g):
     theta = jnp.sqrt(jnp.maximum(theta_sq, 0.0))
     A, B, _ = _coeffs(theta_sq)
     # V^{-1} = I - 1/2 [phi] + coef [phi]^2,  coef = (1 - A/(2B)) / theta^2
-    small = theta < 1e-4
+    small = theta < 0.05  # f32: see _coeffs
     safe_sq = jnp.where(small, 1.0, theta_sq)
     coef = jnp.where(small, 1.0 / 12.0 + theta_sq / 720.0, (1.0 - A / (2.0 * B)) / safe_sq)
     p1 = jnp.cross(phi, t)

@@ -21,7 +21,11 @@ import jax.numpy as jnp
 
 from dpvo_tpu.lie import so3
 
-_EPS = 1e-6
+# small-angle/-scale switch for _calc_W: the closed forms divide
+# cancellation-prone differences (1 - cos theta, e^sigma - 1) by
+# theta^2/sigma; in f32 those differences lose all precision below
+# ~0.03, where the first-order series are already ~1e-5 accurate
+_EPS = 0.03
 
 
 def identity(shape=(), dtype=jnp.float32):

@@ -9,6 +9,7 @@ feeds fixed-shape padded arrays to the jitted steps (runtime/steps.py).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -41,10 +42,35 @@ class DPVO:
     """
 
     def __init__(self, cfg: Config, network: Optional[str] = None, ht: int = 480, wd: int = 640,
-                 viz: bool = False, seed: int = 0):
+                 viz: bool = False, seed: int = 0, mesh=None):
         self.cfg = cfg
         self.ht, self.wd = ht, wd
-        self.steps = StepFunctions(cfg, ht, wd)
+
+        # a network directory containing StableHLO artifacts is
+        # auto-selected, like the reference's onnx-dir convention
+        # (dpvo/dpvo.py:187-268): patchify/update then execute the
+        # serialized graphs instead of the flax modules
+        exported = None
+        if (isinstance(network, str) and network and
+                os.path.isdir(network) and
+                os.path.exists(os.path.join(network, "patchify.shlo"))):
+            from dpvo_tpu.deploy.export import load_exported
+
+            exported = load_exported(network)
+            me = exported.meta
+            mism = [k for k, v in (("ht", ht), ("wd", wd),
+                                   ("e_max", cfg.E_MAX),
+                                   ("mixed_precision", bool(cfg.MIXED_PRECISION)))
+                    if me.get(k) != v]
+            if mism:
+                raise ValueError(
+                    f"exported network {network} was serialized for "
+                    f"{ {k: me.get(k) for k in mism} }, incompatible with "
+                    f"this tracker's config/geometry")
+            network = os.path.join(network, "params.npz")
+            print(f"running serialized StableHLO network from {os.path.dirname(network)}")
+
+        self.steps = StepFunctions(cfg, ht, wd, exported=exported, mesh=mesh)
         self.state = make_state(cfg, ht, wd)
         self.topo = Topology(cfg)
 

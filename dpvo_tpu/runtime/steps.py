@@ -28,11 +28,24 @@ from dpvo_tpu.runtime.state import VOState
 
 
 class StepFunctions:
-    def __init__(self, cfg: Config, ht: int, wd: int):
+    def __init__(self, cfg: Config, ht: int, wd: int, exported=None, mesh=None):
+        """exported: an ExportedVONet (deploy/export.py) — when given,
+        patchify and the update operator execute the serialized
+        StableHLO artifacts instead of the flax modules (the analog of
+        the reference's auto-selected onnx directory, dpvo/dpvo.py:
+        187-268). The artifacts inline into the same fused per-frame
+        jit programs.
+
+        mesh: a jax.sharding.Mesh with an 'edge' axis — when given,
+        global BA runs through the distributed sparse solver
+        (ba/gba_sparse.dist_gba), sharding its row/pair reductions over
+        the mesh and psum'ing the reduced camera system over ICI."""
         self.cfg = cfg
         self.ht, self.wd = ht, wd
         fdt = jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32
         self.fdt = fdt
+        self.exported = exported
+        self.mesh = mesh
         self.patchifier = Patchifier(patch_size=cfg.P, dim=cfg.DIM, fdim=cfg.FDIM, dtype=fdt)
         self.update_op = Update(dim=cfg.DIM, p=cfg.P, dtype=fdt)
         self.pmem = cfg.MAX_EDGE_AGE if cfg.LOOP_CLOSURE else cfg.PMEM
@@ -188,6 +201,8 @@ class StepFunctions:
 
     def _patchify(self, params, image_u8, key):
         """image_u8 [H,W,3] uint8 -> patch features (ref dpvo.py:917-929)."""
+        if self.exported is not None:
+            return self.exported.patchify(image_u8, key)
         img = 2.0 * (image_u8.astype(jnp.float32) / 255.0) - 0.5
         img = img[None].astype(self.fdt)  # [1,H,W,3]
         fmap, gmap_p, imap_p, patches, clr = self.patchifier.apply(
@@ -412,12 +427,18 @@ class StepFunctions:
             es["ii1"], es["jj1"], es["valid"], radius=cfg.CORR_RADIUS,
         ).reshape(E, -1).astype(self.fdt)
         ctx = state.imap[es["ii1"]]
-        net, delta, weight = self.update_op.apply(
-            params["update"], net, ctx, corr,
-            es["ix"], es["jx"], es["mask_ix"], es["mask_jx"],
-            es["kk_seg"], es["ij_seg"], es["valid"],
-            num_segments=cfg.M_OPT_MAX, num_ij_segments=2 * self.PAIR_MAX,
-        )
+        if self.exported is not None:
+            net, delta, weight = self.exported.update(
+                net, ctx, corr, es["ix"], es["jx"], es["mask_ix"], es["mask_jx"],
+                es["kk_seg"], es["ij_seg"], es["valid"],
+            )
+        else:
+            net, delta, weight = self.update_op.apply(
+                params["update"], net, ctx, corr,
+                es["ix"], es["jx"], es["mask_ix"], es["mask_jx"],
+                es["kk_seg"], es["ij_seg"], es["valid"],
+                num_segments=cfg.M_OPT_MAX, num_ij_segments=2 * self.PAIR_MAX,
+            )
         c = cfg.P // 2
         target = coords[:, c, c, :].astype(jnp.float32) + delta
         return net, target, weight, delta
@@ -580,12 +601,18 @@ class StepFunctions:
         ctr = state.patches[ges["dense2patch"], :, cfg.P // 2, cfg.P // 2]
         fx, fy, cx, cy = state.intrinsics[0]
         bounds = jnp.stack([-cfg.BA_BORDER, -cfg.BA_BORDER, 2 * cx + cfg.BA_BORDER, 2 * cy + cfg.BA_BORDER])
-        poses, depths = gba_sparse.gba(
+        gba_args = (
             state.poses, ctr, state.intrinsics, target, weight, ges["valid"],
-            ges["ii"], ges["jj"], ges["kd"], t0, nfree, bounds, jnp.float32(cfg.BA_LMBDA),
-            idx, W=cfg.GBA_POSES_MAX, Md=cfg.GBA_DEPTHS_MAX, iterations=cfg.GBA_ITERS,
-            ep=cfg.BA_EP, lm=cfg.BA_LM, res_clip=cfg.BA_RESIDUAL_CLIP,
+            ges["ii"], ges["jj"], ges["kd"], t0, nfree, bounds,
+            jnp.float32(cfg.BA_LMBDA), idx,
         )
+        gba_kw = dict(W=cfg.GBA_POSES_MAX, Md=cfg.GBA_DEPTHS_MAX,
+                      iterations=cfg.GBA_ITERS, ep=cfg.BA_EP, lm=cfg.BA_LM,
+                      res_clip=cfg.BA_RESIDUAL_CLIP)
+        if self.mesh is not None:
+            poses, depths = gba_sparse.dist_gba(self.mesh, *gba_args, **gba_kw)
+        else:
+            poses, depths = gba_sparse.gba(*gba_args, **gba_kw)
         patches = state.patches.at[ges["dense2patch"], 2].set(
             depths[:, None, None], mode="drop"
         )

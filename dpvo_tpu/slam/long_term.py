@@ -77,9 +77,24 @@ class LongTermLoopClosure:
     """Hooks mirror the reference (dpvo/dpvo.py:908,1027-1029,675,394):
     __call__(image, n) every frame; attempt_loop_closure(n) after
     tracking; lc_callback() applies a finished PGO; keyframe(k) on
-    keyframe removal; terminate(n) at the end."""
+    keyframe removal; terminate(n) at the end.
 
-    def __init__(self, cfg, slam):
+    Orchestration matches the reference's async layout: ORB hashing,
+    retrieval scoring and descriptor matching run on a worker THREAD
+    (the reference uses a DBoW child process, retrieval_dbow.py:18-52),
+    and the Sim(3) PGO runs in a single-slot executor (the reference
+    uses a process pool, long_term.py:30-34) — the tracking thread only
+    enqueues images, drains candidate packages, does the (rare,
+    candidate-only) triangulation/RANSAC geometry, and applies finished
+    corrections. Multiple loop closures queue up and are applied in
+    order. ``asynchronous=False`` degrades to the round-1 inline mode
+    (deterministic; used by unit tests)."""
+
+    def __init__(self, cfg, slam, asynchronous: bool = True):
+        import queue as _q
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
         from dpvo_tpu.slam.retrieval import OrbRetrieval
 
         self.cfg = cfg
@@ -89,18 +104,61 @@ class LongTermLoopClosure:
         )
         self.result: Optional[Tuple[np.ndarray, int, int]] = None  # (C, i, j)
         self.applied: List[int] = []
+        self.asynchronous = asynchronous
+        self._ops: "_q.Queue" = _q.Queue()
+        self._cands: "_q.Queue" = _q.Queue()
+        self._pgo = ThreadPoolExecutor(max_workers=1)
+        self._pgo_future = None
+        self._pgo_pair: Optional[Tuple[int, int]] = None
+        if asynchronous:
+            self._worker = threading.Thread(target=self._worker_loop, daemon=True)
+            self._worker.start()
 
     # ---- per-frame hashing (ref long_term.py:215-221) ----
 
     def __call__(self, image: np.ndarray, n: int):
         # keep the retrieval DB aligned with keyframe indices: only hash
         # when the tracker kept frame n as a new keyframe
-        while self.retrieval.n_frames() <= n:
-            self.retrieval.insert_image(image)
+        if self.asynchronous:
+            self._ops.put(("sync", np.ascontiguousarray(image), n))
+        else:
+            self._sync(image, n)
 
     def keyframe(self, k: int):
         """Keyframe k removed -> drop its retrieval entry
         (ref image_cache.py:51-57 index remapping)."""
+        if self.asynchronous:
+            self._ops.put(("remove", k))
+        else:
+            self._remove(k)
+
+    # ---- retrieval-thread body ----
+
+    def _worker_loop(self):
+        while True:
+            op = self._ops.get()
+            try:
+                if op[0] == "sync":
+                    self._sync(op[1], op[2])
+                elif op[0] == "remove":
+                    self._remove(op[1])
+                elif op[0] == "stop":
+                    return
+            except Exception as e:  # never kill tracking over retrieval
+                print(f"loop-closure worker error: {e}")
+            finally:
+                self._ops.task_done()
+
+    def _sync(self, image: np.ndarray, n: int):
+        r = self.retrieval
+        while r.n_frames() <= n:
+            r.insert_image(image)
+            i = r.n_frames() - 1
+            cand = r.detect_loop(i) if i > 0 else None
+            if cand is not None:
+                self._package(cand)
+
+    def _remove(self, k: int):
         r = self.retrieval
         if k < len(r.descs):
             del r.descs[k]
@@ -113,19 +171,34 @@ class LongTermLoopClosure:
                     r.lib.retrieval_insert(r.db, d.tobytes(), len(d))
             r.closures = [(a - (a > k), b - (b > k)) for a, b in r.closures]
 
+    def _package(self, cand: Tuple[int, int]):
+        """Descriptor matching for a loop candidate (worker thread: the
+        retrieval DB is only touched here); posts the pixel-level
+        correspondence package for the tracking thread's geometry."""
+        q, rr = cand
+        r = self.retrieval
+        m_qr = r.match(q, rr)
+        if len(m_qr[2]) < MIN_INLIERS:
+            return
+        nbq = q + 1 if q + 1 < r.n_frames() else q - 1
+        nbr = rr + 1 if rr + 1 < r.n_frames() else rr - 1
+        self._cands.put(dict(
+            q=q, rr=rr, m_qr=m_qr,
+            nbq=nbq, m_q=r.match(q, nbq),
+            nbr=nbr, m_r=r.match(rr, nbr),
+        ))
+
     # ---- geometry (ref long_term.py:70-138 estimate_3d_keypoints) ----
 
-    def _triangulate(self, i: int, kp_idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def _triangulate(self, poses: np.ndarray, i: int, nb: int, match,
+                     kp_idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """3-D points (camera-i frame) for keypoints kp_idx of frame i,
-        triangulated against neighbor keyframe i+1 (or i-1). Returns
-        (X [len(kp_idx), 3], good [len(kp_idx)] bool), aligned with
-        kp_idx."""
+        triangulated against neighbor keyframe nb using the worker's
+        match package (pa, pb, ia, ib). Returns (X [len(kp_idx), 3],
+        good [len(kp_idx)] bool), aligned with kp_idx."""
         import cv2
 
-        slam = self.slam
-        r = self.retrieval
-        nb = i + 1 if i + 1 < slam.n else i - 1
-        pa, pb, ia, ib = r.match(i, nb)
+        pa, pb, ia, ib = match
         row_of = {int(a): k for k, a in enumerate(ia)}
 
         X_out = np.zeros((len(kp_idx), 3))
@@ -136,9 +209,8 @@ class LongTermLoopClosure:
         out_ks = np.array([x[0] for x in rows], np.int32)
         m_rows = np.array([x[1] for x in rows], np.int32)
 
-        intr = np.asarray(slam.state.intrinsics[0]) * self.cfg.RES
+        intr = np.asarray(self.slam.state.intrinsics[0]) * self.cfg.RES
         K = np.array([[intr[0], 0, intr[2]], [0, intr[1], intr[3]], [0, 0, 1.0]])
-        poses = slam.poses_np()
         Gi = _pose_matrix(poses[i])
         Gn = _pose_matrix(poses[nb])
         # projection matrices in camera-i coordinates
@@ -155,25 +227,26 @@ class LongTermLoopClosure:
     # ---- loop attempt (ref long_term.py:140-213) ----
 
     def attempt_loop_closure(self, n: int):
-        if self.result is not None:
+        """Drain one candidate package, run the geometry (triangulation
+        + RANSAC-Umeyama), and submit the Sim(3) PGO to the worker
+        executor — candidate-only work; the common case is an empty
+        queue."""
+        import queue as _q
+
+        if self._pgo_future is not None:  # one PGO in flight at a time
             return
-        r = self.retrieval
-        # __call__ hashed frame n before the tracker bumped it, so the DB
-        # holds exactly n frames here; only bail if it is BEHIND (a
-        # `<= n` guard would always fire and silently disable classic LC)
-        if r.n_frames() < n or r.n_frames() == 0:
+        try:
+            pkg = self._cands.get_nowait()
+        except _q.Empty:
             return
-        cand = r.detect_loop(min(n, r.n_frames()) - 1)
-        if cand is None:
+        q, rr = pkg["q"], pkg["rr"]
+        slam = self.slam
+        if q >= slam.n or rr >= slam.n or pkg["nbq"] >= slam.n or pkg["nbr"] >= slam.n:
             return
-        q, rr = cand
-        if q >= self.slam.n or rr >= self.slam.n:
-            return
-        kq, kr, iq, ir = r.match(q, rr)
-        if len(iq) < MIN_INLIERS:
-            return
-        Xq, okq = self._triangulate(q, iq)
-        Xr, okr = self._triangulate(rr, ir)
+        iq, ir = pkg["m_qr"][2], pkg["m_qr"][3]
+        poses = slam.poses_np()
+        Xq, okq = self._triangulate(poses, q, pkg["nbq"], pkg["m_q"], iq)
+        Xr, okr = self._triangulate(poses, rr, pkg["nbr"], pkg["m_r"], ir)
         both = okq & okr
         if both.sum() < MIN_INLIERS:
             return
@@ -186,42 +259,57 @@ class LongTermLoopClosure:
         # slam/pgo.py conventions
         import jax.numpy as jnp
 
-        from dpvo_tpu.lie import se3
-
         q_meas = _rot_to_quat(R)
         S = jnp.concatenate([jnp.asarray(t, jnp.float32),
                              jnp.asarray(q_meas, jnp.float32),
                              jnp.asarray([s], jnp.float32)])
-        poses = self.slam.poses_np()
         Trr = sim3.inv(sim3.from_se3(jnp.asarray(poses[rr])))
-        C = sim3.mul(sim3.mul(Trr, sim3.inv(S)), sim3.inv(Trr))
-        self.result = (np.asarray(C), q, rr)
+        C = np.asarray(sim3.mul(sim3.mul(Trr, sim3.inv(S)), sim3.inv(Trr)))
+
+        from dpvo_tpu.slam.pgo import apply_loop_closure
+
+        n_snap = slam.n
+        self._pgo_pair = (q, rr)
+        self._pgo_future = self._pgo.submit(
+            apply_loop_closure, poses[:n_snap].copy(), C[None],
+            np.array([q]), np.array([rr]),
+        )
 
     # ---- apply (ref long_term.py:189-203 lc_callback) ----
 
-    def lc_callback(self):
-        if self.result is None:
+    def lc_callback(self, wait: bool = False):
+        """Apply a finished PGO correction, if any (non-blocking unless
+        ``wait``)."""
+        if self._pgo_future is None:
             return False
-        C, q, rr = self.result
-        self.result = None
-        slam = self.slam
-        poses = slam.poses_np()
-        from dpvo_tpu.slam.pgo import apply_loop_closure
-
+        if not (wait or self._pgo_future.done()):
+            return False
+        fut, (q, rr) = self._pgo_future, self._pgo_pair
+        self._pgo_future, self._pgo_pair = None, None
         try:
-            corrected = apply_loop_closure(
-                poses[: slam.n], C[None], np.array([q]), np.array([rr])
-            )
+            corrected = fut.result()
         except Exception as e:  # PGO divergence: skip, keep tracking
             print(f"loop closure PGO failed: {e}")
             return False
-        slam.apply_pgo_result(corrected)
+        self.slam.apply_pgo_result(corrected)
         self.applied.append(q)
         return True
 
     def terminate(self, n: int):
-        self.attempt_loop_closure(n)
-        return self.lc_callback()
+        """Flush the retrieval queue, finish queued candidates, apply
+        pending corrections (ref dpvo.py:394-417 termination order)."""
+        if self.asynchronous:
+            self._ops.join()
+        applied = False
+        for _ in range(8):  # bounded: queued candidates, one PGO each
+            applied |= self.lc_callback(wait=True)
+            if self._cands.empty() and self._pgo_future is None:
+                break
+            self.attempt_loop_closure(self.slam.n)
+        applied |= self.lc_callback(wait=True)
+        if self.asynchronous:
+            self._ops.put(("stop",))
+        return applied
 
 
 def _rot_to_quat(R: np.ndarray) -> np.ndarray:

@@ -39,3 +39,49 @@ def test_export_roundtrip(tmp_path):
     msk = jnp.ones(E, bool)
     out_net, d, w = net.update(z, z, corr, idx, idx, msk, msk, idx, idx, msk)
     assert out_net.shape == (E, D) and d.shape == (E, 2) and w.shape == (E, 2)
+
+
+def test_dpvo_consumes_export_dir(tmp_path):
+    """DPVO auto-selects a StableHLO export directory as its network,
+    like the reference's onnx-dir convention (dpvo/dpvo.py:187-268),
+    and tracks identically to the in-process flax modules."""
+    from dpvo_tpu.config import Config
+    from dpvo_tpu.deploy import export_network
+    from dpvo_tpu.runtime import DPVO
+    from dpvo_tpu.runtime.weights import init_params
+
+    cfg = Config(BUFFER_SIZE=32, E_MAX=256, E_INAC_MAX=128, PMEM=6, MEM=6,
+                 M_OPT_MAX=64, PATCHES_PER_FRAME=8, MIXED_PRECISION=False,
+                 KEYFRAME_INDEX=2, OPTIMIZATION_WINDOW=4, REMOVAL_WINDOW=5,
+                 PATCH_LIFETIME=4, W_OPT_MAX=6)
+    ht, wd = 64, 96
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    outdir = export_network(params, cfg, ht, wd, str(tmp_path / "exp"))
+
+    a = DPVO(cfg, network=params, ht=ht, wd=wd)
+    b = DPVO(cfg, network=outdir, ht=ht, wd=wd)
+    assert b.steps.exported is not None
+
+    rng = np.random.default_rng(3)
+    intr = np.array([60.0, 60.0, 48.0, 32.0], np.float32)
+    for t in range(6):
+        img = rng.integers(0, 255, (ht, wd, 3)).astype(np.uint8)
+        a(t, img, intr)
+        b(t, img, intr)
+    pa, pb = a.poses_np(), b.poses_np()
+    np.testing.assert_allclose(pb, pa, atol=1e-4)
+
+
+def test_dpvo_rejects_mismatched_export(tmp_path):
+    from dpvo_tpu.config import Config
+    from dpvo_tpu.deploy import export_network
+    from dpvo_tpu.runtime import DPVO
+    from dpvo_tpu.runtime.weights import init_params
+    import pytest
+
+    cfg = Config(BUFFER_SIZE=16, E_MAX=128, E_INAC_MAX=128, PMEM=4, MEM=4,
+                 M_OPT_MAX=64, MIXED_PRECISION=False)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    outdir = export_network(params, cfg, 64, 96, str(tmp_path / "exp"))
+    with pytest.raises(ValueError, match="incompatible"):
+        DPVO(cfg, network=outdir, ht=48, wd=64)

@@ -88,3 +88,47 @@ def test_pair_truncation_degrades_gracefully():
     e0 = center_rmse(poses0, ctr0, intr, target, ii, jj, kd)
     e1 = center_rmse(sp, ctr0.at[:, 2].set(sd), intr, target, ii, jj, kd)
     assert e1 < e0, (e0, e1)
+
+
+def test_dist_gba_matches_single_device():
+    """dist_gba on an 8-device CPU mesh must reproduce the single-device
+    sparse solver (SURVEY §2.9: runtime global BA over ICI)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from dpvo_tpu.ba.gba_sparse import dist_gba
+    from dpvo_tpu.parallel import make_mesh
+
+    poses_gt, ctr_gt, intr, target, ii, jj, kd = synthetic_problem(
+        jax.random.PRNGKey(9), noise=0.3
+    )
+    n = poses_gt.shape[0]
+    Md = ctr_gt.shape[0]
+    E = ii.shape[0]
+    W, t0, nfree = 8, 1, n - 1
+    kp = jax.random.PRNGKey(17)
+    poses0 = jnp.asarray(poses_gt).at[1:, :3].add(
+        0.04 * jax.random.normal(kp, (n - 1, 3)))
+    weight = jnp.ones((E, 2))
+    valid = jnp.ones((E,), bool)
+    bounds = jnp.array([-64.0, -64.0, 224.0, 184.0])
+
+    idx = build_sparse_indices(
+        np.asarray(ii), np.asarray(jj), np.asarray(kd), t0, nfree,
+        W=W, R_MAX=4096, KP_MAX=1 << 14,
+    )
+    idx_j = {k: jnp.asarray(v) for k, v in idx.items()}
+    args = (poses0, ctr_gt, intr, target, weight, valid, ii, jj, kd,
+            jnp.int32(t0), jnp.int32(nfree), bounds, jnp.float32(1e-4))
+
+    single = gba(*args, idx_j, W=W, Md=Md, iterations=2)
+    mesh = make_mesh(n_data=1, n_edge=8)
+    dist = dist_gba(mesh, *args, idx_j, W=W, Md=Md, iterations=2)
+
+    np.testing.assert_allclose(np.asarray(dist[0]), np.asarray(single[0]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dist[1]), np.asarray(single[1]),
+                               atol=1e-5, rtol=1e-5)

@@ -112,3 +112,93 @@ def test_apply_pgo_rescales_depths():
     p = np.asarray(out.poses)
     np.testing.assert_allclose(p[:4, :3], np.tile([1.0, 2.0, 3.0], (4, 1)), atol=1e-6)
     np.testing.assert_allclose(p[4:, :3], 0.0)
+
+
+def test_classic_lc_end_to_end(monkeypatch):
+    """Full classic loop-closure chain through the async orchestration:
+    hash -> detect (worker thread) -> match package -> triangulate ->
+    RANSAC-Umeyama -> Sim3 PGO (executor) -> apply; injected drift on a
+    loopy trajectory must shrink (ref loop_closure/long_term.py:20-266)."""
+    import jax.numpy as jnp
+
+    from dpvo_tpu.slam import retrieval as R
+    from dpvo_tpu.slam import long_term as LT
+
+    monkeypatch.setattr(R, "RADIUS", 12)   # shorten the revisit gap (test speed)
+    monkeypatch.setattr(LT, "MIN_INLIERS", 12)  # small synthetic images
+
+    from test_runtime import make_oracle, small_cfg
+
+    from dpvo_tpu.eval import ate_rmse
+    from dpvo_tpu.lie import se3, sim3
+    from dpvo_tpu.runtime import DPVO
+    from dpvo_tpu.slam.long_term import LongTermLoopClosure
+    from dpvo_tpu.utils.synthetic import PlaneScene
+
+    ht, wd = 128, 160
+    n = 34
+    scene = PlaneScene(ht=ht, wd=wd, n_frames=n, depth=4.0, seed=7)
+    # ORB needs corners: replace the smooth value-noise texture with
+    # sharp 8px blocks (~300 features/frame instead of ~5)
+    trng = np.random.default_rng(11)
+    scene.tex = np.kron(trng.integers(0, 255, (128, 128, 3)).astype(np.uint8),
+                        np.ones((8, 8, 1), np.uint8))
+    # circular camera path (period 28): positions are distinct mid-way
+    # and the tail re-traverses the start, so with a high retrieval
+    # threshold exactly one genuine revisit candidate fires, onto a
+    # frame (>2) whose pose the init window actually optimized
+    ts = np.arange(n)
+    th = 2 * np.pi * ts / 28
+    C = np.stack([0.35 * np.sin(th), 0.35 * (1 - np.cos(th)), np.zeros(n)], -1)
+    poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32), (n, 1))
+    poses[:, :3] = -C  # identity rotation w2c: t = -camera_center
+    scene.poses = poses.astype(np.float32)
+
+    cfg = small_cfg(LOOP_RETR_THRESH=0.95)
+    slam = DPVO(cfg, None, ht=ht, wd=wd, seed=1)
+    slam.oracle = make_oracle(scene, cfg)
+    slam._motion_probe = lambda: 1e9
+    lc = LongTermLoopClosure(cfg, slam, asynchronous=True)
+
+    for t in range(n):
+        img = scene.render(t)
+        lc(img, slam.n)
+        slam(t, img, scene.intrinsics.copy())
+    lc._ops.join()  # wait for the retrieval worker to catch up
+    assert not lc._cands.empty(), "revisit not detected by the worker"
+
+    # inject progressive Sim(3) drift into the tracked keyframe poses,
+    # sized relative to the VO trajectory's own (monocular-gauge) span
+    # so per-frame increments stay small against local baselines —
+    # like real drift, it corrupts the global shape, not local geometry
+    m = slam.n
+    kf = slam.poses_np()
+    span = np.linalg.norm(kf[:, :3] - kf[:, :3].mean(0), axis=1).mean()
+    drifted = np.zeros((m, 8), np.float32)
+    for i in range(m):
+        a = i / (m - 1)
+        half = 0.04 * a / 2
+        D = np.array([1.0 * span * a, 0.4 * span * a, 0.0,
+                      0.0, 0.0, np.sin(half), np.cos(half),
+                      1.0 + 0.25 * a], np.float32)
+        drifted[i] = np.asarray(sim3.mul(jnp.asarray(D),
+                                         sim3.from_se3(jnp.asarray(kf[i]))))
+    slam.apply_pgo_result(drifted)
+
+    gt_c = np.asarray(se3.inv(jnp.asarray(scene.poses[:m])))[:, :3]
+
+    def metrics():
+        est_c = np.asarray(se3.inv(jnp.asarray(slam.poses_np())))[:, :3]
+        # loop gap: distance between revisit pairs (GT-identical camera
+        # positions), normalized by trajectory span — the quantity a
+        # loop closure exists to shrink, insensitive to the Sim3 gauge
+        span = np.linalg.norm(est_c - est_c.mean(0), axis=1).mean()
+        gap = np.linalg.norm(est_c[28:m] - est_c[0:m - 28], axis=1).mean()
+        return ate_rmse(est_c, gt_c, align_scale=True), gap / max(span, 1e-9)
+
+    e_before, gap_before = metrics()
+    lc.terminate(slam.n)
+    e_after, gap_after = metrics()
+    assert lc.applied, "no loop closure was applied"
+    assert gap_after < 0.5 * gap_before, (gap_before, gap_after)
+    assert e_after < e_before, (e_before, e_after)
