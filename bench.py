@@ -36,7 +36,12 @@ def main():
     # the published-results profile (96 patches etc), like the reference's
     # eval scripts run
     yaml = os.path.join(os.path.dirname(os.path.abspath(__file__)), "config", "default.yaml")
-    cfg = load_config(yaml if os.path.exists(yaml) else None, {})
+    overrides = {}
+    if "--opts" in sys.argv:  # e.g. --opts LOOP_CLOSURE True (GBA on-device)
+        rest = sys.argv[sys.argv.index("--opts") + 1:]
+        kv = [a for a in rest if not a.startswith("--")]
+        overrides = dict(zip(kv[0::2], kv[1::2]))
+    cfg = load_config(yaml if os.path.exists(yaml) else None, overrides)
     scene = PlaneScene(ht=ht, wd=wd, n_frames=n_warmup + n_bench, depth=4.0, seed=7)
     frames = [scene.render(t) for t in range(n_warmup + n_bench)]
 

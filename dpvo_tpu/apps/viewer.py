@@ -10,7 +10,9 @@ memory).
 
 Backends, best-effort:
   - OpenCV window (``cv2.imshow``) when a display is available:
-    live camera image + a top-down (x, z) trajectory/point scatter.
+    live camera image + a software-rendered 3-D view (follow camera,
+    z-sorted point splats, keyframe frusta, trajectory polyline) with
+    a top-down (x, z) inset.
   - Headless: frames are written to ``<outdir>/viewer_%05d.png``.
 
 API mirrors the reference viewer (dpvo/dpvo.py:914-915, :413-414):
@@ -65,6 +67,106 @@ def _render_topdown(canvas, poses, points, colors):
     return canvas
 
 
+def _centers_c2w(poses_w2c: np.ndarray):
+    """w2c (t, q) poses -> camera centers + c2w rotation matrices."""
+    from dpvo_tpu.utils import npse3
+
+    g = npse3.inv(np.asarray(poses_w2c, np.float64))
+    return g[:, :3], npse3.quat_rotmat(g[:, 3:7])
+
+
+def _render_3d(canvas, poses, points, colors, point_px: int = 1):
+    """Software-rendered perspective view: a follow camera sits behind
+    and above the newest pose, looking along the smoothed trajectory
+    (the same shot as the reference's Pangolin follow mode,
+    DPViewer/dpviewer/viewer.cpp renderloop). Pure NumPy projection +
+    z-ordered splats; cv2 only draws lines."""
+    import cv2
+
+    H, W, _ = canvas.shape
+    if poses is None or len(poses) == 0:
+        return canvas
+    ctr, rots = _centers_c2w(poses)
+    ok = np.isfinite(ctr).all(axis=1)
+    if not ok.any():
+        return canvas
+    ctr = ctr[ok]
+    rots = rots[ok]
+
+    # scene scale from the trajectory + cloud spread
+    ref_pts = ctr if points is None or not len(points) else np.concatenate(
+        [ctr, points[np.isfinite(points).all(axis=1)]], 0)
+    scale = max(float(np.percentile(
+        np.linalg.norm(ref_pts - ctr[-1], axis=1), 90)), 1e-3)
+
+    # follow camera: behind (-z of newest cam) and above, looking at it
+    fwd = rots[-1][:, 2]  # newest camera's viewing direction (c2w z)
+    up_w = np.array([0.0, -1.0, 0.0])  # image y points down in cam frame
+    eye = ctr[-1] - 1.8 * scale * fwd + 0.9 * scale * up_w
+    look = ctr[-1] + 0.4 * scale * fwd
+    z = look - eye
+    z /= np.linalg.norm(z) + 1e-12
+    x = np.cross(z, up_w)
+    x /= np.linalg.norm(x) + 1e-12
+    y = np.cross(z, x)
+    Rv = np.stack([x, y, z])  # world -> view rows
+
+    f = 0.9 * min(H, W)
+    cx, cy = W / 2, H / 2
+
+    def project(Xw):
+        Xc = (Xw - eye) @ Rv.T
+        zc = Xc[:, 2]
+        vis = zc > 1e-3 * scale
+        zs = np.where(vis, zc, 1.0)
+        u = f * Xc[:, 0] / zs + cx
+        v = f * Xc[:, 1] / zs + cy
+        inb = vis & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        return u, v, zc, inb
+
+    # points: z-sorted far-to-near so near splats overwrite far ones
+    if points is not None and len(points):
+        P = points[np.isfinite(points).all(axis=1)]
+        C = (colors[np.isfinite(points).all(axis=1)]
+             if colors is not None and len(colors) == len(points)
+             else np.full((len(P), 3), 200, np.uint8))
+        u, v, zc, inb = project(P)
+        order = np.argsort(-zc[inb])
+        ui = u[inb].astype(np.int32)[order]
+        vi = v[inb].astype(np.int32)[order]
+        ci = C[inb][order]
+        for d in range(point_px):
+            canvas[np.clip(vi + d, 0, H - 1), ui] = ci
+            canvas[vi, np.clip(ui + d, 0, W - 1)] = ci
+
+    # trajectory polyline
+    u, v, zc, inb = project(ctr)
+    pts2d = np.stack([u, v], 1).astype(np.int32)
+    for a in range(len(ctr) - 1):
+        if inb[a] and inb[a + 1]:
+            cv2.line(canvas, tuple(pts2d[a]), tuple(pts2d[a + 1]),
+                     (0, 255, 0), 1, cv2.LINE_AA)
+
+    # keyframe frusta (every Nth + the newest, ref draws all)
+    step = max(len(ctr) // 12, 1)
+    w_half, h_half, depth = 0.10 * scale, 0.075 * scale, 0.16 * scale
+    corners_c = np.array([
+        [0, 0, 0],
+        [-w_half, -h_half, depth], [w_half, -h_half, depth],
+        [w_half, h_half, depth], [-w_half, h_half, depth],
+    ])
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4), (4, 1)]
+    for i in list(range(0, len(ctr), step)) + [len(ctr) - 1]:
+        col = (0, 160, 255) if i == len(ctr) - 1 else (180, 120, 0)
+        Xw = ctr[i] + corners_c @ rots[i].T
+        u, v, zc, inb = project(Xw)
+        p2 = np.stack([u, v], 1).astype(np.int32)
+        for a, b in edges:
+            if inb[a] and inb[b]:
+                cv2.line(canvas, tuple(p2[a]), tuple(p2[b]), col, 1, cv2.LINE_AA)
+    return canvas
+
+
 def _viewer_loop(q: mp.Queue, outdir: str):
     try:
         import cv2
@@ -91,7 +193,17 @@ def _viewer_loop(q: mp.Queue, outdir: str):
             poses, points, colors = payload
 
         canvas = np.zeros((480, 640, 3), np.uint8)
-        canvas = _render_topdown(canvas, poses, points, colors)
+        if have_cv and poses is not None and len(poses):
+            try:
+                canvas = _render_3d(canvas, poses, points, colors)
+            except Exception:
+                canvas = _render_topdown(canvas, poses, points, colors)
+            # top-down inset, lower-right quadrant
+            inset = _render_topdown(np.zeros((160, 212, 3), np.uint8),
+                                    poses, points, colors)
+            canvas[-160:, -212:] = np.maximum(canvas[-160:, -212:] // 3, inset)
+        else:
+            canvas = _render_topdown(canvas, poses, points, colors)
         if image is not None:
             import numpy as _np
             thumb = image
@@ -147,3 +259,4 @@ class Viewer:
         self.proc.join(timeout=5.0)
         if self.proc.is_alive():
             self.proc.terminate()
+            self.proc.join(timeout=2.0)

@@ -46,7 +46,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 EB = 128  # edges per grid step
+# edges per fori_loop iteration: amortizes the ~1k-cycle loop/load floor
+# against the (quadratically growing) cross-edge dot waste; sweepable on
+# hardware without code edits
+G_EDGES = int(os.environ.get("DPVO_CORR_G", "4"))
+assert EB % G_EDGES == 0
 
 
 def _make_kernel(H2: int, W2: int, C: int, D: int, P2: int):
@@ -70,9 +77,9 @@ def _make_kernel(H2: int, W2: int, C: int, D: int, P2: int):
         out_r[:] = jnp.zeros_like(out_r)
         nv = jnp.clip(nv_s[0, 0] - pl.program_id(0) * EB, 0, EB)
 
-        G = 4  # edges per loop iteration: amortizes loop overhead and
-        #        feeds the MXU one [G*P2, C]x[G*P2*WX, C]^T dot whose
-        #        rows/lanes are ~4x better utilized than per-edge dots
+        G = G_EDGES  # edges per loop iteration: amortizes loop overhead
+        #        and feeds the MXU one [G*P2, C]x[G*P2*WX, C]^T dot whose
+        #        rows/lanes are ~Gx better utilized than per-edge dots
 
         def body(g, _):
             e0 = g * G
@@ -174,7 +181,7 @@ def _corr_level(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
             # x is the sublane dim: pad right by an extra D so the
             # aligned 2D-wide strip loads stay in bounds
             pltpu.VMEM((H2 + 2 * D, W2a + 3 * D, C), fmap.dtype),
-            pltpu.VMEM((4 * P2 * D * 2 * D, C), fmap.dtype),
+            pltpu.VMEM((G_EDGES * P2 * D * 2 * D, C), fmap.dtype),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
