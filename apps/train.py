@@ -52,6 +52,9 @@ def main():
     p.add_argument("--freeze_encoders", action="store_true",
                    help="zero encoder updates (train the update operator "
                         "against fixed reference features)")
+    p.add_argument("--val_every", type=int, default=0,
+                   help="held-out-clip validation cadence (0 = off)")
+    p.add_argument("--val_clips", type=int, default=4)
     args = p.parse_args()
 
     import orbax.checkpoint as ocp
@@ -128,10 +131,32 @@ def main():
 
     from dpvo_tpu.runtime.weights import save_params
 
+    val_batch = None
+    if args.val_every:
+        # fixed held-out clips, disjoint seed range from the training
+        # stream; stacked once and reused every validation pass
+        from dpvo_tpu.data.factory import SyntheticClipDataset
+
+        vds = SyntheticClipDataset(n_frames=args.n_frames, ht=args.ht,
+                                   wd=args.wd, seed=999_000)
+        clips = [vds.sample() for _ in range(args.val_clips)]
+        val_batch = {
+            "images": jnp.asarray(np.stack([c[0] for c in clips])),
+            "poses": jnp.asarray(np.stack([c[1] for c in clips])),
+            "disps": jnp.asarray(np.stack([c[2] for c in clips])),
+            "intrinsics": jnp.asarray(np.stack([c[3] for c in clips])),
+        }
+
     ctx = mesh_context(mesh) if mesh else mesh_context(None)
     with ctx:
+        from dpvo_tpu.train import make_val_step
+
         step_fn = make_train_step(cfg, tx, STEPS=args.unroll,
                                   flow_weight=args.flow_weight, pose_weight=args.pose_weight)
+        val_fn = (make_val_step(cfg, STEPS=args.unroll,
+                                flow_weight=args.flow_weight,
+                                pose_weight=args.pose_weight)
+                  if args.val_every else None)
         feed = device_feed()
         import time as _time
         tlast = _time.time()
@@ -146,6 +171,13 @@ def main():
                 m["steps_per_s"] = args.log_every / max(now - tlast, 1e-9)
                 tlast = now
                 logger.push(m)
+
+            if val_fn is not None and (step + 1) % args.val_every == 0:
+                vm = val_fn(params, val_batch, jax.random.PRNGKey(7))
+                vm = {f"val_{k}": float(v) for k, v in vm.items()}
+                logger.write_dict(vm)
+                print(f"[val @{step+1}] " +
+                      " ".join(f"{k}={v:.4g}" for k, v in vm.items()), flush=True)
 
             if (step + 1) % args.npz_every == 0:
                 save_params(f"checkpoints/{args.name}_{step+1:06d}.npz", jax.device_get(params))

@@ -76,3 +76,33 @@ def make_train_step(cfg: Config, tx, STEPS: int = 18, flow_weight=0.1, pose_weig
         return params, opt_state, metrics
 
     return train_step
+
+
+def make_val_step(cfg: Config, STEPS: int = 18, flow_weight=0.1, pose_weight=10.0):
+    """Forward-only loss/metrics on a held-out batch (no grad, no
+    dropout randomness beyond the supplied key) — the training loop's
+    validation hook (the reference validates by full TartanAir eval
+    every 10k steps, evaluate_tartan.py; held-out clip loss is the
+    in-environment stand-in)."""
+
+    def loss_fn(params, batch, key):
+        B = batch["images"].shape[0]
+        keys = jax.random.split(key, B)
+
+        def single(img, pose, disp, intr, k):
+            traj = vo_forward(params, cfg, img, pose, disp, intr, k, STEPS=STEPS)
+            return clip_loss(traj, pose, cfg.P, flow_weight=flow_weight,
+                             pose_weight=pose_weight)
+
+        losses, metrics = jax.vmap(single)(
+            batch["images"], batch["poses"], batch["disps"], batch["intrinsics"], keys
+        )
+        return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
+
+    @jax.jit
+    def val_step(params, batch, key):
+        loss, metrics = loss_fn(params, batch, key)
+        metrics["loss"] = loss
+        return metrics
+
+    return val_step

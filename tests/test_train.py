@@ -136,3 +136,17 @@ def test_train_step_on_mesh():
             opt_sh = jax.device_put(opt_state, replicated(mesh))
             p, o, m = step(params_sh, opt_sh, batch_sh, jax.random.PRNGKey(5), structure_only=False)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_val_step_runs():
+    """Forward-only validation hook: finite metrics, params untouched."""
+    from dpvo_tpu.train import make_val_step
+
+    cfg = tiny_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(0), ht=HT, wd=WD)
+    batch = make_batch(B=2, F=5)
+    val = make_val_step(cfg, STEPS=4)
+    m = val(params, batch, jax.random.PRNGKey(3))
+    assert set(m) >= {"loss", "flow", "tr", "ro", "px1"}
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
