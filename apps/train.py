@@ -55,6 +55,11 @@ def main():
     p.add_argument("--val_every", type=int, default=0,
                    help="held-out-clip validation cadence (0 = off)")
     p.add_argument("--val_clips", type=int, default=4)
+    p.add_argument("--reservoir", type=int, default=0,
+                   help="sample batches from a continuously-refreshed "
+                        "pool of the newest N clips (keeps a slow host "
+                        "from starving the accelerator; 0 = every batch "
+                        "is a fresh clip)")
     args = p.parse_args()
 
     import orbax.checkpoint as ocp
@@ -109,7 +114,7 @@ def main():
 
     ds = dataset_factory([args.dataset], datapath=args.datapath, n_frames=args.n_frames,
                          ht=args.ht, wd=args.wd)
-    batches = batch_iterator(ds, batch_size=args.batch)
+    batches = batch_iterator(ds, batch_size=args.batch, reservoir=args.reservoir)
 
     logger = Logger(args.name)
     key = jax.random.PRNGKey(1234)

@@ -55,33 +55,66 @@ def dataset_factory(names, datapath="datasets/TartanAir", n_frames=15, ht=None, 
 
 
 def batch_iterator(dataset, batch_size: int = 1, augment: bool = True, seed: int = 0,
-                   prefetch: int = 2) -> Iterator[dict]:
-    """Background-threaded batcher yielding jnp-ready dicts."""
+                   prefetch: int = 2, reservoir: int = 0) -> Iterator[dict]:
+    """Background-threaded batcher yielding jnp-ready dicts.
+
+    reservoir > 0 decouples the accelerator step rate from clip
+    production on weak hosts (this container has ONE core; a clip costs
+    ~1.2 s to render+augment): a producer thread continuously refreshes
+    a pool of the newest `reservoir` clips and batches sample from it
+    with replacement, so a fast consumer re-sees recent clips instead of
+    stalling (the reference leans on torch DataLoader worker fan-out
+    instead, factory.py + train.py num_workers)."""
     rng = np.random.default_rng(seed)
+
+    def make_clip():
+        from dpvo_tpu.data.augmentation import augment_clip
+
+        im, po, ds, it = dataset.sample()
+        if augment:
+            im, ds, it = augment_clip(im, ds, it, rng, out_hw=ds.shape[1:3])
+        return (np.clip(im, 0, 255).astype(np.uint8), po.astype(np.float32),
+                ds.astype(np.float16), it.astype(np.float32))
+
+    # compact dtypes throughout: the feed path may cross a slow
+    # host->device link (axon tunnel ~25 MB/s); images are uint8-range
+    # and disps tolerate f16 — vo_forward casts on device
+    def pack(clips):
+        return {
+            "images": np.stack([c[0] for c in clips]),
+            "poses": np.stack([c[1] for c in clips]),
+            "disps": np.stack([c[2] for c in clips]),
+            "intrinsics": np.stack([c[3] for c in clips]),
+        }
+
+    if reservoir > 0:
+        import collections
+
+        pool = collections.deque(maxlen=reservoir)
+        lock = threading.Lock()
+        warm = threading.Event()
+
+        def refresh():
+            while True:
+                c = make_clip()
+                with lock:
+                    pool.append(c)
+                    if len(pool) >= min(4, reservoir):
+                        warm.set()
+
+        threading.Thread(target=refresh, daemon=True).start()
+        warm.wait()
+        while True:
+            with lock:
+                picks = [pool[rng.integers(len(pool))] for _ in range(batch_size)]
+            yield pack(picks)
+        return
+
     q: _queue.Queue = _queue.Queue(maxsize=prefetch)
 
     def produce():
-        from dpvo_tpu.data.augmentation import augment_clip
-
         while True:
-            imgs, poses, disps, intrs = [], [], [], []
-            for _ in range(batch_size):
-                im, po, ds, it = dataset.sample()
-                if augment:
-                    im, ds, it = augment_clip(im, ds, it, rng, out_hw=ds.shape[1:3])
-                imgs.append(im)
-                poses.append(po)
-                disps.append(ds)
-                intrs.append(it)
-            # compact dtypes: the feed path may cross a slow host->device
-            # link (axon tunnel ~25 MB/s); images are uint8-range and
-            # disps tolerate f16 — vo_forward casts on device
-            q.put({
-                "images": np.clip(np.stack(imgs), 0, 255).astype(np.uint8),
-                "poses": np.stack(poses).astype(np.float32),
-                "disps": np.stack(disps).astype(np.float16),
-                "intrinsics": np.stack(intrs).astype(np.float32),
-            })
+            q.put(pack([make_clip() for _ in range(batch_size)]))
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
