@@ -33,6 +33,10 @@ class Config:
     # ---- keyframing (ref dpvo/config.py:17-19) ----
     KEYFRAME_INDEX: int = 4
     KEYFRAME_THRESH: float = 12.5
+    # apply the keyframe decision before the next frame (reference-exact
+    # timing, costs one device round trip of pipeline overlap per frame)
+    # instead of one frame late (the fused pipeline's default)
+    KEYFRAME_SYNC: bool = False
 
     # ---- motion model (ref dpvo/config.py:21-23) ----
     MOTION_MODEL: str = "DAMPED_LINEAR"

@@ -365,6 +365,12 @@ class DPVO:
         th = threading.Thread(target=fetch, daemon=True)
         th.start()
         self._inflight = (th, box)
+        if cfg.KEYFRAME_SYNC:
+            # reference-exact semantics: apply the keyframe decision
+            # before the next frame (dpvo.py:601-693 decides inline).
+            # Costs the pipeline overlap (one tunnel RTT per frame);
+            # the default async mode applies it one frame late.
+            self._drain_inflight()
 
         if self.long_term_lc is not None:  # ref dpvo.py:1027-1029
             self.long_term_lc.attempt_loop_closure(self.n)

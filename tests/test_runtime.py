@@ -154,3 +154,15 @@ def test_fused_steady_state_pipeline(scene):
     assert np.all(np.isfinite(poses))
     qn = np.linalg.norm(poses[:, 3:], axis=1)
     assert np.allclose(qn, 1.0, atol=1e-3)
+
+
+def test_fused_keyframe_sync_mode(scene):
+    """KEYFRAME_SYNC=True applies the cull decision before the next
+    frame (reference-exact timing); pipeline must stay consistent."""
+    cfg = small_cfg(KEYFRAME_THRESH=12.5, KEYFRAME_SYNC=True)
+    slam = DPVO(cfg, None, ht=HT, wd=WD, seed=2)
+    for t in range(14):
+        slam(t, scene.render(t), scene.intrinsics.copy())
+    poses, tstamps = slam.terminate()
+    assert poses.shape[0] == 14
+    assert np.all(np.isfinite(poses))
