@@ -219,9 +219,148 @@ def _corr_level(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
     return (o * keep).astype(jnp.bfloat16)
 
 
-@partial(jax.jit, static_argnames=("radius", "interpret"))
-def corr_features_pallas(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
-                         radius: int = 3, interpret: bool = False):
+# ---------------------------------------------------------------------
+# superwindow variant ("pallas_sw"): ONE VMEM load + ONE small dot per
+# edge instead of 9 loads and a G-batched cross-edge dot. All 9 patch
+# pixels share a [RS, CS] superwindow anchored at the CENTER pixel's
+# window corner; per-pixel row/col offsets (0..RS-D, 0..CS-D) are
+# resolved in the XLA epilogue via one-hot blends of static slices.
+# Semantics deviation vs the reference kernel: a pixel whose coords
+# stray more than +-(RS-D)/2 px from the patch center samples a window
+# CLAMPED into the superwindow. Real reprojected patches (one depth per
+# patch, 3x3 px at 1/4 res) stay within +-2 px; adversarial inputs can
+# exceed it, which is why "pallas" remains the exact default.
+# ---------------------------------------------------------------------
+
+RS = 14  # superwindow rows: D(8) + 2*margin(2) + bilinear(1) + slack
+CS = 32  # superwindow cols: D + margin + 8-alignment remainder + slack
+
+
+def _make_kernel_sw(H2: int, W2: int, C: int, D: int, P2: int):
+    def kernel(jj_s, sy_s, sx_s, nv_s, f1_r, fmap_r, out_r, cache_r,
+               loaded_r, sem):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            loaded_r[0] = -1
+            cache_r[:] = jnp.zeros_like(cache_r)
+
+        out_r[:] = jnp.zeros_like(out_r)
+        nv = jnp.clip(nv_s[0, 0] - pl.program_id(0) * EB, 0, EB)
+
+        def body(e, _):
+            j = jj_s[0, e]
+
+            @pl.when(j != loaded_r[0])
+            def _():
+                loaded_r[0] = j
+                cp = pltpu.make_async_copy(
+                    fmap_r.at[j],
+                    cache_r.at[pl.ds(16, H2), pl.ds(16, W2), :],
+                    sem,
+                )
+                cp.start()
+                cp.wait()
+
+            win = cache_r[
+                pl.ds(sy_s[0, e], RS), pl.ds(pl.multiple_of(sx_s[0, e], 8), CS), :
+            ].reshape(RS * CS, C)
+            # [P2, C] x [RS*CS, C]^T -> [P2, RS*CS]: per-edge dot, no
+            # cross-edge waste, result small enough to stay in registers
+            res = jax.lax.dot_general(
+                f1_r[e], win, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_r[e] = res.astype(out_r.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, nv, body, 0)
+
+    return kernel
+
+
+def _corr_level_sw(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
+    """Superwindow level: fmap [mem,H2,W2,C]; f1 [E,P2,C] bf16 sorted;
+    cs [E,P2,2] sorted coords; jjk/vs sorted frame ids / validity."""
+    E, P2, C = f1.shape
+    mem, H2, W2, _ = fmap.shape
+    D = 2 * radius + 2
+    W = D * D
+
+    W2a = -(-W2 // 8) * 8
+    if W2a != W2:
+        fmap = jnp.pad(fmap, ((0, 0), (0, 0), (0, W2a - W2), (0, 0)))
+
+    x = cs[..., 0]
+    y = cs[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dxf = (x - x0).astype(jnp.float32)
+    dyf = (y - y0).astype(jnp.float32)
+    sy = y0.astype(jnp.int32) - radius            # per-pixel window corner
+    sx = x0.astype(jnp.int32) - radius
+    c = P2 // 2
+    # superwindow corner: center pixel's window corner minus the margin,
+    # clamped into the padded cache, x aligned down to the sublane tile
+    syc = jnp.clip(sy[:, c] - (RS - D) // 2, -16, H2)
+    sxc = (jnp.clip(sx[:, c] - (RS - D) // 2, -16, W2a) + 16) // 8 * 8 - 16
+
+    vp = (vs[:, None] & (sy >= -D) & (sy <= H2) & (sx >= -D) & (sx <= W2))
+    vf = vp.astype(jnp.float32)
+
+    grid = (E // EB,)
+    smem1 = lambda: pl.BlockSpec((1, EB), lambda i: (0, i), memory_space=pltpu.SMEM)
+    s = pl.pallas_call(
+        _make_kernel_sw(H2, W2a, C, D, P2),
+        grid=grid,
+        in_specs=[
+            smem1(),  # jj
+            smem1(),  # superwindow row corner (cache coords)
+            smem1(),  # superwindow col corner (cache coords, 8-aligned)
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((EB, P2, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # fmap (HBM)
+        ],
+        out_specs=pl.BlockSpec((EB, P2, RS * CS), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, P2, RS * CS), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((H2 + 32, W2a + 48, C), fmap.dtype),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(jjk[None], (syc + 16)[None], (sxc + 16)[None],
+      jnp.sum(vs).astype(jnp.int32)[None, None], f1, fmap)
+
+    # epilogue: per-pixel (row, col) offsets within the superwindow,
+    # clamped; one-hot blends of static slices (XLA fuses the stacks)
+    dy = jnp.clip(sy - syc[:, None], 0, RS - D)                  # [E,P2]
+    dxw = jnp.clip(sx - sxc[:, None], 0, CS - D)                 # [E,P2]
+
+    s4 = s.astype(jnp.float32).reshape(E, P2, RS, CS)
+    rows = jnp.stack([s4[:, :, k:k + D, :] for k in range(RS - D + 1)])
+    ohr = (dy[None] == jnp.arange(RS - D + 1)[:, None, None]).astype(jnp.float32)
+    sr = jnp.einsum("kep,kepuv->epuv", ohr, rows)                # [E,P2,D,CS]
+    cols = jnp.stack([sr[..., k:k + D] for k in range(CS - D + 1)])
+    ohc = (dxw[None] == jnp.arange(CS - D + 1)[:, None, None]).astype(jnp.float32)
+    sw = jnp.einsum("kep,kepuv->epuv", ohc, cols)                # [E,P2,D,D]
+
+    # 2x2 bilinear reduction to the canonical [P2, D*D] layout with the
+    # last row/column zeroed (shared with _corr_level / corr.py)
+    w00 = ((1 - dyf) * (1 - dxf) * vf)[..., None, None]
+    w01 = ((1 - dyf) * dxf * vf)[..., None, None]
+    w10 = (dyf * (1 - dxf) * vf)[..., None, None]
+    w11 = (dyf * dxf * vf)[..., None, None]
+    o = (w00 * sw[..., : D - 1, : D - 1] + w01 * sw[..., : D - 1, 1:]
+         + w10 * sw[..., 1:, : D - 1] + w11 * sw[..., 1:, 1:])
+    o = jnp.pad(o, ((0, 0), (0, 0), (0, 1), (0, 1)))
+    return o.reshape(E, P2, W).astype(jnp.bfloat16)
+
+
+@partial(jax.jit, static_argnames=("radius", "interpret", "level_fn"))
+def _corr_features_common(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
+                          radius: int = 3, interpret: bool = False,
+                          level_fn=None):
     """Two-level correlation features in canonical layout.
 
     gmap  [Np, C, P, P] patch matching features (circular buffer)
@@ -254,7 +393,24 @@ def corr_features_pallas(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
 
     outs = []
     for fmap, scale in ((fmap1, 1.0), (fmap2, 4.0)):
-        outs.append(_corr_level(fmap.astype(jnp.bfloat16), f1, cs / scale,
-                                jjk, vs, radius, interpret))
+        outs.append(level_fn(fmap.astype(jnp.bfloat16), f1, cs / scale,
+                             jjk, vs, radius, interpret))
     res = jnp.concatenate(outs, axis=-1)  # [Ep, P2, 2*D*D]
     return res[inv][:E]
+
+
+def corr_features_pallas(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
+                         radius: int = 3, interpret: bool = False):
+    """Exact per-pixel-window kernel (default)."""
+    return _corr_features_common(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
+                                 radius=radius, interpret=interpret,
+                                 level_fn=_corr_level)
+
+
+def corr_features_pallas_sw(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
+                            radius: int = 3, interpret: bool = False):
+    """Superwindow kernel (1 load + 1 dot per edge; per-pixel windows
+    clamped within +-(RS-D)/2 px of the patch center)."""
+    return _corr_features_common(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
+                                 radius=radius, interpret=interpret,
+                                 level_fn=_corr_level_sw)

@@ -23,7 +23,7 @@ from dpvo_tpu.lie import se3
 from dpvo_tpu.models import Patchifier, Update
 from dpvo_tpu.ops import avg_pool2d_nhwc
 from dpvo_tpu.ops.corr import corr_features_xla
-from dpvo_tpu.ops.corr_pallas import corr_features_pallas
+from dpvo_tpu.ops.corr_pallas import corr_features_pallas, corr_features_pallas_sw
 from dpvo_tpu.runtime.state import VOState
 
 
@@ -420,7 +420,10 @@ class StepFunctions:
         coords = pops.transform(
             state.poses, state.patches, state.intrinsics, es["ii"], es["jj"], es["kk"]
         )  # [E,P,P,2]
-        corr_fn = corr_features_pallas if self.corr_impl == "pallas" else corr_features_xla
+        corr_fn = {
+            "pallas": corr_features_pallas,
+            "pallas_sw": corr_features_pallas_sw,
+        }.get(self.corr_impl, corr_features_xla)
         E = coords.shape[0]
         corr = corr_fn(
             state.gmap, state.fmap1, state.fmap2, coords.astype(jnp.float32),
