@@ -96,17 +96,46 @@ class SoftAgg(nn.Module):
         w = scatter_softmax(g(x), groups)
         y = scatter_sum(f(x) * w, groups)
         out = h(y)[groups]
+
+    At runtime segment counts (>= matmul_threshold) the two grouped
+    reductions ride ONE HIGHEST-precision one-hot matmul on the MXU
+    instead of three scatter passes — TPU scatters cost ~1-2 ms of
+    latency each regardless of size. The softmax shift uses the global
+    per-channel max instead of the per-group max (mathematically
+    identical; logits are bounded activations, so no overflow), which is
+    what makes the denominator a plain segment sum.
     """
 
     dim: int
     dtype: jnp.dtype = jnp.float32
+    matmul_threshold: int = 256
 
     @nn.compact
     def __call__(self, x, seg, num_segments: int, valid=None):
         fx = nn.Dense(self.dim, dtype=self.dtype)(x)
         gx = nn.Dense(self.dim, dtype=self.dtype)(x)
-        w = segment_softmax(gx.astype(jnp.float32), seg, num_segments, valid).astype(x.dtype)
-        seg_safe = jnp.where(valid, seg, num_segments) if valid is not None else seg
-        y = jax.ops.segment_sum(fx * w, seg_safe, num_segments=num_segments + 1)
+        if num_segments >= self.matmul_threshold:
+            g32 = gx.astype(jnp.float32)
+            vf = None if valid is None else valid.astype(jnp.float32)[:, None]
+            masked = g32 if vf is None else jnp.where(vf > 0, g32, -jnp.inf)
+            m = jnp.max(masked, axis=0)
+            m = jnp.where(jnp.isfinite(m), m, 0.0)
+            e = jnp.exp(g32 - m[None])
+            if vf is not None:
+                e = e * vf
+            payload = jnp.concatenate([fx.astype(jnp.float32) * e, e], axis=1)
+            oh = (seg[None, :] == jnp.arange(num_segments)[:, None]).astype(
+                jnp.float32)
+            sums = jax.lax.dot_general(
+                oh, payload, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [S, 2*dim]
+            y = (sums[:, : self.dim]
+                 / jnp.maximum(sums[:, self.dim :], 1e-9)).astype(x.dtype)
+        else:
+            w = segment_softmax(gx.astype(jnp.float32), seg, num_segments, valid).astype(x.dtype)
+            seg_safe = jnp.where(valid, seg, num_segments) if valid is not None else seg
+            y = jax.ops.segment_sum(fx * w, seg_safe, num_segments=num_segments + 1)
+            y = y[:num_segments]
         out = nn.Dense(self.dim, dtype=self.dtype)(y)
         return out[seg]

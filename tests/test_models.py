@@ -129,3 +129,29 @@ def test_patchifier_shapes_and_patch_grid():
     # gradient-bias strategy also runs
     out = pf.apply(params, img, M, jax.random.PRNGKey(11), centroid_sel_strat="GRADIENT_BIAS")
     assert out[1].shape == (M, 16, P, P)
+
+
+def test_softagg_matmul_matches_scatter():
+    """The one-hot-matmul aggregation (runtime segment counts) must
+    match the scatter path bit-for-bit-ish on identical params/input."""
+    import jax
+
+    from dpvo_tpu.models.blocks import SoftAgg
+
+    rng = np.random.default_rng(0)
+    E, S, D = 70, 9, 16
+    x = jnp.asarray(rng.standard_normal((E, D)), jnp.float32)
+    seg = jnp.asarray(rng.integers(0, S, E), jnp.int32)
+    valid = jnp.asarray(rng.uniform(size=E) > 0.25)
+
+    mm = SoftAgg(dim=D, matmul_threshold=1)     # force matmul path
+    sc = SoftAgg(dim=D, matmul_threshold=10**9)  # force scatter path
+    params = mm.init(jax.random.PRNGKey(0), x, seg, S, valid)
+    a = mm.apply(params, x, seg, S, valid)
+    b = sc.apply(params, x, seg, S, valid)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5)
+
+    # and with no valid mask
+    a = mm.apply(params, x, seg, S)
+    b = sc.apply(params, x, seg, S)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5)
