@@ -30,6 +30,12 @@ def main():
     p.add_argument("--wd", type=int, default=320)
     p.add_argument("--device", default="")
     p.add_argument("--opts", nargs="+", default=[])
+    p.add_argument("--tstep", type=float, default=0.05,
+                   help="per-frame translation scale; the motion-probe "
+                        "init gate needs ~2 quarter-res px of per-frame "
+                        "flow, i.e. tstep >~ 10*depth/(0.8*wd)")
+    p.add_argument("--rstep", type=float, default=0.004)
+    p.add_argument("--depth", type=float, default=6.0)
     args = p.parse_args()
 
     if args.device:
@@ -57,7 +63,8 @@ def main():
         seed = 5000 + 17 * s
         cls = MultiPlaneScene if s % 2 else PlaneScene
         scene = cls(ht=args.ht, wd=args.wd, n_frames=args.n_frames,
-                    depth=6.0, seed=seed, tstep=0.05, rstep=0.004)
+                    depth=args.depth, seed=seed, tstep=args.tstep,
+                    rstep=args.rstep)
         gt_c2w = np.asarray(se3.inv(jnp.asarray(scene.poses)))
         motion = float(np.linalg.norm(np.diff(gt_c2w[:, :3], axis=0), axis=1).sum())
 

@@ -60,7 +60,16 @@ def main():
                         "pool of the newest N clips (keeps a slow host "
                         "from starving the accelerator; 0 = every batch "
                         "is a fresh clip)")
+    p.add_argument("--opts", nargs="+", default=[],
+                   help="config overrides, e.g. --opts DIM 64 FDIM 32")
+    p.add_argument("--device", default="",
+                   help="jax platform override (e.g. 'cpu')")
     args = p.parse_args()
+
+    if args.device:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", args.device)
 
     import orbax.checkpoint as ocp
 
@@ -71,7 +80,12 @@ def main():
     from dpvo_tpu.train import make_optimizer, make_train_step
     from dpvo_tpu.train.logger import Logger
 
-    cfg = Config()
+    from dpvo_tpu.config import load_config
+
+    overrides = dict(zip(args.opts[0::2], args.opts[1::2]))
+    if args.device == "cpu":
+        overrides.setdefault("MIXED_PRECISION", False)
+    cfg = load_config(None, overrides) if overrides else Config()
     params = init_params(cfg, jax.random.PRNGKey(0), ht=args.ht, wd=args.wd)
     if args.init_encoders:
         from dpvo_tpu.runtime.torch_port import port_reference_encoders

@@ -28,12 +28,15 @@ class SyntheticClipDataset:
 
         seed = int(self.rng.integers(1 << 30))
         # randomized motion magnitude stands in for the reference's
-        # flow-bounded covisibility sampling (base.py:84-169 fmin/fmax)
+        # flow-bounded covisibility sampling (base.py:84-169 fmin/fmax);
+        # ranges are tuned for wd=160 (fx = 0.8*wd) and scale inversely
+        # with resolution so per-frame flow in PIXELS stays comparable
+        s = 160.0 / self.wd
         scene = MultiPlaneScene(
             ht=self.ht, wd=self.wd, n_frames=self.n_frames,
             depth=float(self.rng.uniform(5.0, 12.0)), seed=seed,
-            tstep=float(self.rng.uniform(0.025, 0.09)),
-            rstep=float(self.rng.uniform(0.002, 0.01)),
+            tstep=float(self.rng.uniform(0.025, 0.09)) * s,
+            rstep=float(self.rng.uniform(0.002, 0.01)) * s,
         )
         images = np.stack([scene.render(t) for t in range(self.n_frames)]).astype(np.float32)
         ys, xs = np.mgrid[0 : self.ht, 0 : self.wd]
