@@ -42,26 +42,50 @@ def main():
         kv = [a for a in rest if not a.startswith("--")]
         overrides = dict(zip(kv[0::2], kv[1::2]))
     cfg = load_config(yaml if os.path.exists(yaml) else None, overrides)
-    scene = PlaneScene(ht=ht, wd=wd, n_frames=n_warmup + n_bench, depth=4.0, seed=7)
+
+    # trained weights: --network PATH, $DPVO_BENCH_NETWORK, or the
+    # committed flagship checkpoint. With real weights the benchmark
+    # runs the product's own gates (motion probe, flow-driven
+    # keyframing) — no monkeypatches.
+    network = None
+    if "--network" in sys.argv:
+        network = sys.argv[sys.argv.index("--network") + 1]
+    elif os.environ.get("DPVO_BENCH_NETWORK"):
+        network = os.environ["DPVO_BENCH_NETWORK"]
+    else:
+        cand = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "weights", "vonet_synth.npz")
+        if os.path.exists(cand):
+            network = cand
+
+    # motion sized so trained weights pass the probe gate (~8 full-res
+    # px/frame of flow at depth 4, fx=512 -> tstep ~ 8*4/512/3)
+    scene = PlaneScene(ht=ht, wd=wd, n_frames=n_warmup + n_bench, depth=4.0,
+                       seed=7, tstep=0.035 if network is None else 0.06,
+                       rstep=0.004)
     frames = [scene.render(t) for t in range(n_warmup + n_bench)]
 
-    slam = DPVO(cfg, None, ht=ht, wd=wd, seed=0)
-    # untrained weights would fail the motion-probe init gate
-    # (dpvo.py:975-978); force initialization so the benchmark exercises
-    # the full steady-state pipeline the way trained weights would
-    slam._motion_probe = lambda: 1e9
-    # deterministic keyframe cadence: with random weights the flow
-    # magnitude is chaotic, which makes the per-frame work mix (and so
-    # the FPS) non-reproducible; cull every 4th frame like a typical
-    # EuRoC run so regressions are attributable
-    orig_decide = slam._keyframe_decide
-    state = {"i": 0}
+    slam = DPVO(cfg, network, ht=ht, wd=wd, seed=0)
+    if network is None:
+        # untrained weights would fail the motion-probe init gate
+        # (dpvo.py:975-978); force initialization so the benchmark
+        # exercises the full steady-state pipeline the way trained
+        # weights would
+        slam._motion_probe = lambda: 1e9
+        # deterministic keyframe cadence: with random weights the flow
+        # magnitude is chaotic, which makes the per-frame work mix (and
+        # so the FPS) non-reproducible; cull every 4th frame like a
+        # typical EuRoC run so regressions are attributable
+        orig_decide = slam._keyframe_decide
+        state = {"i": 0}
 
-    def fixed_decide(m, **kw):
-        state["i"] += 1
-        orig_decide(0.0 if state["i"] % 4 == 0 else 1e9, **kw)
+        def fixed_decide(m, **kw):
+            state["i"] += 1
+            orig_decide(0.0 if state["i"] % 4 == 0 else 1e9, **kw)
 
-    slam._keyframe_decide = fixed_decide
+        slam._keyframe_decide = fixed_decide
+    else:
+        print(f"# benchmarking with trained weights: {network}", file=sys.stderr)
 
     # warmup covers initialization + all jit compiles
     for t in range(n_warmup):

@@ -27,16 +27,23 @@ class SyntheticClipDataset:
         from dpvo_tpu.utils.synthetic import MultiPlaneScene
 
         seed = int(self.rng.integers(1 << 30))
-        # randomized motion magnitude stands in for the reference's
-        # flow-bounded covisibility sampling (base.py:84-169 fmin/fmax);
-        # ranges are tuned for wd=160 (fx = 0.8*wd) and scale inversely
-        # with resolution so per-frame flow in PIXELS stays comparable
-        s = 160.0 / self.wd
+        # flow-targeted motion: the reference samples clips whose
+        # inter-frame optical flow lies in [fmin=10, fmax=75] px
+        # (base.py:84-169); here we draw a target per-frame full-res
+        # flow in px and derive the twist scales from it, so training
+        # covers the motion-probe gate (~8 full-res px, dpvo.py:221)
+        # and keyframe-thresh regimes at ANY training resolution.
+        depth = float(self.rng.uniform(5.0, 12.0))
+        fx = 0.8 * self.wd
+        flow_t = float(self.rng.uniform(2.0, 28.0))  # translational px/frame
+        flow_r = float(self.rng.uniform(0.5, 8.0))   # rotational px/frame
         scene = MultiPlaneScene(
             ht=self.ht, wd=self.wd, n_frames=self.n_frames,
-            depth=float(self.rng.uniform(5.0, 12.0)), seed=seed,
-            tstep=float(self.rng.uniform(0.025, 0.09)) * s,
-            rstep=float(self.rng.uniform(0.002, 0.01)) * s,
+            depth=depth, seed=seed,
+            # the scene's momentum random walk (vel = .9 vel + N(0, step))
+            # amplifies realized flow ~3x over the naive step->flow map
+            tstep=flow_t * depth / fx / 3.0,
+            rstep=flow_r / fx / 3.0,
         )
         images = np.stack([scene.render(t) for t in range(self.n_frames)]).astype(np.float32)
         ys, xs = np.mgrid[0 : self.ht, 0 : self.wd]
