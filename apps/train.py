@@ -189,12 +189,12 @@ def main():
                 now = _time.time()
                 m["steps_per_s"] = args.log_every / max(now - tlast, 1e-9)
                 tlast = now
-                logger.push(m)
+                logger.push(m, step=step + 1)
 
             if val_fn is not None and (step + 1) % args.val_every == 0:
                 vm = val_fn(params, val_batch, jax.random.PRNGKey(7))
                 vm = {f"val_{k}": float(v) for k, v in vm.items()}
-                logger.write_dict(vm)
+                logger.write_dict(vm, step=step + 1)
                 print(f"[val @{step+1}] " +
                       " ".join(f"{k}={v:.4g}" for k, v in vm.items()), flush=True)
 

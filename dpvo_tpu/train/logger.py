@@ -32,11 +32,20 @@ class Logger:
         except Exception:
             pass
 
-    def push(self, metrics: Dict[str, float]):
-        self.step += 1
+    def push(self, metrics: Dict[str, float], step: int = None):
+        """Accumulate one metrics reading.
+
+        Without `step`, reference semantics: called once per training
+        step, running-mean flushed every SUM_FREQ calls. With `step`
+        (callers that pre-batch readings at a log_every cadence), the
+        true step is recorded and every reading is flushed — otherwise
+        the internal call counter drifts from the real step and JSONL
+        rows land once per SUM_FREQ*log_every real steps."""
+        explicit = step is not None
+        self.step = step if explicit else self.step + 1
         for k, v in metrics.items():
             self.window[k].append(float(v))
-        if self.step % self.SUM_FREQ == 0:
+        if explicit or self.step % self.SUM_FREQ == 0:
             means = {k: sum(v) / len(v) for k, v in self.window.items()}
             means["step"] = self.step
             means["wall"] = time.time() - self.t0
@@ -54,8 +63,8 @@ class Logger:
         if self.tb:
             self.tb.close()
 
-    def write_dict(self, results: Dict[str, float]):
-        results = dict(results, step=self.step)
+    def write_dict(self, results: Dict[str, float], step: int = None):
+        results = dict(results, step=self.step if step is None else step)
         self.jsonl.write(json.dumps(results) + "\n")
         self.jsonl.flush()
         if self.tb:
