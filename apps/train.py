@@ -52,6 +52,17 @@ def main():
     p.add_argument("--freeze_encoders", action="store_true",
                    help="zero encoder updates (train the update operator "
                         "against fixed reference features)")
+    p.add_argument("--init_npz", default=None, metavar="NPZ",
+                   help="warm-start all params from an inference-weight "
+                        "npz snapshot (save_params format)")
+    p.add_argument("--structure_only", type=int, default=1000,
+                   help="depth-only BA for the first N fresh-start steps "
+                        "(ref train.py so<1000); warm starts may set 0")
+    p.add_argument("--flow_t", default=None, metavar="MIN,MAX",
+                   help="synthetic target translational flow range "
+                        "(px/frame at the training resolution)")
+    p.add_argument("--flow_r", default=None, metavar="MIN,MAX",
+                   help="synthetic target rotational flow range")
     p.add_argument("--val_every", type=int, default=0,
                    help="held-out-clip validation cadence (0 = off)")
     p.add_argument("--val_clips", type=int, default=4)
@@ -96,6 +107,11 @@ def main():
             os.path.join(args.init_encoders, "inet.onnx"),
         )
         print(f"encoders initialized from {args.init_encoders}")
+    if args.init_npz:
+        from dpvo_tpu.runtime.weights import load_params
+
+        params = load_params(args.init_npz, cfg)
+        print(f"warm-started from {args.init_npz}")
     tx, schedule = make_optimizer(lr=args.lr, total_steps=args.steps, clip=args.clip)
     if args.freeze_encoders:
         import optax
@@ -126,8 +142,13 @@ def main():
         params = jax.device_put(params, replicated(mesh))
         opt_state = jax.device_put(opt_state, replicated(mesh))
 
+    synth_kw = {}
+    if args.flow_t:
+        synth_kw["flow_t"] = tuple(float(x) for x in args.flow_t.split(","))
+    if args.flow_r:
+        synth_kw["flow_r"] = tuple(float(x) for x in args.flow_r.split(","))
     ds = dataset_factory([args.dataset], datapath=args.datapath, n_frames=args.n_frames,
-                         ht=args.ht, wd=args.wd)
+                         ht=args.ht, wd=args.wd, **synth_kw)
     batches = batch_iterator(ds, batch_size=args.batch, reservoir=args.reservoir)
 
     logger = Logger(args.name)
@@ -157,7 +178,7 @@ def main():
         from dpvo_tpu.data.factory import SyntheticClipDataset
 
         vds = SyntheticClipDataset(n_frames=args.n_frames, ht=args.ht,
-                                   wd=args.wd, seed=999_000)
+                                   wd=args.wd, seed=999_000, **synth_kw)
         clips = [vds.sample() for _ in range(args.val_clips)]
         val_batch = {
             "images": jnp.asarray(np.stack([c[0] for c in clips])),
@@ -182,7 +203,8 @@ def main():
         for step in range(start_step, args.steps):
             batch = next(feed)
             key, sub = jax.random.split(key)
-            so = step < 1000 and args.ckpt is None and start_step == 0
+            so = (step < args.structure_only and args.ckpt is None
+                  and args.init_npz is None and start_step == 0)
             params, opt_state, metrics = step_fn(params, opt_state, batch, sub, structure_only=so)
             if (step + 1) % args.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}  # device sync

@@ -18,10 +18,16 @@ class SyntheticClipDataset:
     """Procedural clips (textured-plane scenes) for smoke training and
     environments without TartanAir on disk."""
 
-    def __init__(self, n_frames=8, ht=128, wd=160, seed=0):
+    def __init__(self, n_frames=8, ht=128, wd=160, seed=0,
+                 flow_t=(2.0, 28.0), flow_r=(0.5, 8.0)):
         self.n_frames = n_frames
         self.ht, self.wd = ht, wd
         self.rng = np.random.default_rng(seed)
+        # target per-frame optical-flow ranges in px at (ht, wd); see
+        # sample(). Narrow these for curriculum runs (e.g. a band just
+        # above the motion-probe gate when training tiny fixtures).
+        self.flow_t = flow_t
+        self.flow_r = flow_r
 
     def sample(self):
         from dpvo_tpu.utils.synthetic import MultiPlaneScene
@@ -35,8 +41,8 @@ class SyntheticClipDataset:
         # and keyframe-thresh regimes at ANY training resolution.
         depth = float(self.rng.uniform(5.0, 12.0))
         fx = 0.8 * self.wd
-        flow_t = float(self.rng.uniform(2.0, 28.0))  # translational px/frame
-        flow_r = float(self.rng.uniform(0.5, 8.0))   # rotational px/frame
+        flow_t = float(self.rng.uniform(*self.flow_t))  # translational px/frame
+        flow_r = float(self.rng.uniform(*self.flow_r))  # rotational px/frame
         scene = MultiPlaneScene(
             ht=self.ht, wd=self.wd, n_frames=self.n_frames,
             depth=depth, seed=seed,
@@ -53,7 +59,8 @@ class SyntheticClipDataset:
         return images, scene.poses.copy(), disps, scene.intrinsics.copy()
 
 
-def dataset_factory(names, datapath="datasets/TartanAir", n_frames=15, ht=None, wd=None, seed=0):
+def dataset_factory(names, datapath="datasets/TartanAir", n_frames=15, ht=None, wd=None, seed=0,
+                    **synth_kw):
     if "tartan" in names:
         from dpvo_tpu.data.tartan import TartanAirDataset
 
@@ -61,7 +68,8 @@ def dataset_factory(names, datapath="datasets/TartanAir", n_frames=15, ht=None, 
         if ds.scenes:
             return ds
         print(f"warning: no TartanAir scenes under {datapath}; using synthetic clips")
-    return SyntheticClipDataset(n_frames=n_frames, ht=ht or 128, wd=wd or 160, seed=seed)
+    return SyntheticClipDataset(n_frames=n_frames, ht=ht or 128, wd=wd or 160, seed=seed,
+                                **synth_kw)
 
 
 def batch_iterator(dataset, batch_size: int = 1, augment: bool = True, seed: int = 0,

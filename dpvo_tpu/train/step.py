@@ -33,6 +33,10 @@ def make_optimizer(lr: float = 8e-5, total_steps: int = 240000, clip: float = 10
         pct_final=1.0, div_factor=25.0, final_div_factor=10000.0,
     )
     return optax.chain(
+        # a rare NaN gradient (degenerate synthetic clip / BA breakdown)
+        # must not poison the Adam moments for the rest of the run: the
+        # reference's torch clip_grad_norm_ would propagate it
+        optax.zero_nans(),
         optax.clip_by_global_norm(clip),
         optax.adamw(schedule, weight_decay=1e-6),
     ), schedule
