@@ -128,6 +128,9 @@ def build_sparse_indices(
     )
 
 
+_PAIR_CHUNK_SIZE = 1 << 20  # pairs per fori_loop body (VMEM-bounded)
+
+
 def _pair_chunks(total: int, chunk: int) -> int:
     return -(-total // chunk)
 
@@ -197,7 +200,16 @@ def _iteration(poses, depths, patch_ctr, intrinsics, target, weight, valid,
 
     # E Q E^T accumulated into S via bounded pair chunks
     KP = p1.shape[0]
-    PAIR_CHUNK = min(KP, 1 << 20)
+    PAIR_CHUNK = min(KP, _PAIR_CHUNK_SIZE)
+    # pad to a chunk multiple: dynamic_slice CLAMPS an overrunning start,
+    # which would re-read (and double-subtract) pairs from the previous
+    # chunk whenever KP (the local shard size under dist_gba) is not a
+    # chunk multiple; padded positions carry kpmask=False -> zero coef
+    KPp = _pair_chunks(KP, PAIR_CHUNK) * PAIR_CHUNK
+    if KPp != KP:
+        p1 = jnp.pad(p1, (0, KPp - KP))
+        p2 = jnp.pad(p2, (0, KPp - KP))
+        kpmask = jnp.pad(kpmask, (0, KPp - KP))
 
     def pair_chunk(c, S):
         s = c * PAIR_CHUNK

@@ -132,3 +132,43 @@ def test_dist_gba_matches_single_device():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(dist[1]), np.asarray(single[1]),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pair_chunk_overrun_no_double_count(monkeypatch):
+    """A pair array whose length is NOT a multiple of the chunk size and
+    whose tail holds TRUE pairs (any non-final dist_gba shard; or a
+    truncated-to-capacity single-device index set, as built here) must
+    not double-subtract couplings: dynamic_slice clamps an overrunning
+    last chunk's start, re-reading earlier live pairs unless
+    gba_sparse._iteration pads the arrays to a chunk multiple."""
+    import dpvo_tpu.ba.gba_sparse as gs
+
+    poses_gt, ctr_gt, intr, target, ii, jj, kd = synthetic_problem(
+        jax.random.PRNGKey(3), noise=0.2)
+    n = poses_gt.shape[0]
+    t0, nfree, W = 1, n - 1, 8
+    Md = ctr_gt.shape[0]
+    E = ii.shape[0]
+    # kp_max below the natural pair count -> truncation fills the array
+    # with true pairs end to end; 61 is not a multiple of 7
+    idx = build_sparse_indices(
+        np.asarray(ii), np.asarray(jj), np.asarray(kd), t0, nfree,
+        W=W, R_MAX=4096, KP_MAX=61,
+    )
+    assert bool(idx["kpmask"].all()), "test premise: tail must be live"
+    args = (
+        jnp.asarray(poses_gt), ctr_gt, intr, target,
+        jnp.ones((E, 2)), jnp.ones((E,), bool), ii, jj, kd,
+        jnp.int32(t0), jnp.int32(nfree),
+        jnp.array([-64.0, -64.0, 224.0, 184.0]), jnp.float32(1e-4),
+        {k: jnp.asarray(v) for k, v in idx.items()},
+    )
+    kw = dict(W=W, Md=Md, iterations=2)
+    # unjitted so each call traces fresh under the patched chunk size
+    exact = gs.gba.__wrapped__(*args, **kw)          # 61 <= default chunk
+    monkeypatch.setattr(gs, "_PAIR_CHUNK_SIZE", 7)   # 61 % 7 != 0
+    chunked = gs.gba.__wrapped__(*args, **kw)
+    np.testing.assert_allclose(np.asarray(chunked[0]), np.asarray(exact[0]),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(chunked[1]), np.asarray(exact[1]),
+                               atol=1e-6, rtol=1e-6)
