@@ -107,6 +107,13 @@ class LongTermLoopClosure:
         self.asynchronous = asynchronous
         self._ops: "_q.Queue" = _q.Queue()
         self._cands: "_q.Queue" = _q.Queue()
+        # keyframe-removal generation counters: a candidate package is
+        # only valid while the keyframe indexing it was built under
+        # still matches the tracker's (enqueued == processed == at
+        # package creation); removals in between remap indices and
+        # would aim the Sim3/PGO at the wrong frames
+        self._rm_enq = 0   # bumped on the tracking thread (keyframe())
+        self._rm_done = 0  # bumped on the worker thread (_remove())
         self._pgo = ThreadPoolExecutor(max_workers=1)
         self._pgo_future = None
         self._pgo_pair: Optional[Tuple[int, int]] = None
@@ -127,6 +134,7 @@ class LongTermLoopClosure:
     def keyframe(self, k: int):
         """Keyframe k removed -> drop its retrieval entry
         (ref image_cache.py:51-57 index remapping)."""
+        self._rm_enq += 1
         if self.asynchronous:
             self._ops.put(("remove", k))
         else:
@@ -170,6 +178,7 @@ class LongTermLoopClosure:
                 for d in r.descs:
                     r.lib.retrieval_insert(r.db, d.tobytes(), len(d))
             r.closures = [(a - (a > k), b - (b > k)) for a, b in r.closures]
+        self._rm_done += 1
 
     def _package(self, cand: Tuple[int, int]):
         """Descriptor matching for a loop candidate (worker thread: the
@@ -183,6 +192,7 @@ class LongTermLoopClosure:
         nbq = q + 1 if q + 1 < r.n_frames() else q - 1
         nbr = rr + 1 if rr + 1 < r.n_frames() else rr - 1
         self._cands.put(dict(
+            gen=self._rm_done,
             q=q, rr=rr, m_qr=m_qr,
             nbq=nbq, m_q=r.match(q, nbq),
             nbr=nbr, m_r=r.match(rr, nbr),
@@ -241,6 +251,8 @@ class LongTermLoopClosure:
             return
         q, rr = pkg["q"], pkg["rr"]
         slam = self.slam
+        if not (self._rm_enq == self._rm_done == pkg["gen"]):
+            return  # keyframe indexing shifted since packaging: stale
         if q >= slam.n or rr >= slam.n or pkg["nbq"] >= slam.n or pkg["nbr"] >= slam.n:
             return
         iq, ir = pkg["m_qr"][2], pkg["m_qr"][3]
