@@ -38,8 +38,11 @@ def main():
     yaml = os.path.join(os.path.dirname(os.path.abspath(__file__)), "config", "default.yaml")
     overrides = {}
     if "--opts" in sys.argv:  # e.g. --opts LOOP_CLOSURE True (GBA on-device)
-        rest = sys.argv[sys.argv.index("--opts") + 1:]
-        kv = [a for a in rest if not a.startswith("--")]
+        kv = []
+        for a in sys.argv[sys.argv.index("--opts") + 1:]:
+            if a.startswith("--"):  # K V pairs end at the next flag
+                break
+            kv.append(a)
         overrides = dict(zip(kv[0::2], kv[1::2]))
     cfg = load_config(yaml if os.path.exists(yaml) else None, overrides)
 
