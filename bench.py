@@ -121,13 +121,17 @@ def main():
         steps = slam.steps
         params = slam.params
         img = jax.device_put(frames[-1])
-        buf = jnp.asarray(slam._framebuf)
+        # measure the capacity bucket the steady state actually ran
+        E_cap = slam._last_bucket
+        buf = jnp.asarray(slam._framebufs[E_cap])
         key = jax.random.PRNGKey(9)
+        print(f"# device bucket: E_cap={E_cap}", file=sys.stderr)
 
         def scan_k(k):
             def fn(st):
                 def body(s, _):
-                    s2, _out = steps._frame_step(params, s, img, buf, key)
+                    s2, _out = steps._frame_step(params, s, img, buf, key,
+                                                 E_cap=E_cap)
                     return s2, ()
                 return lax.scan(body, st, None, length=k)[0]
             return jax.jit(fn)

@@ -91,7 +91,17 @@ class Config:
     GBA_ITERS: int = 2
 
     # ---- correlation kernel ----
-    CORR_IMPL: str = "auto"            # auto (pallas on TPU, xla elsewhere) | xla | pallas
+    CORR_IMPL: str = "auto"            # auto (pallas on TPU, xla elsewhere) | xla | pallas | pallas_sw
+
+    # ---- fused-step edge-capacity buckets ----
+    # The fused per-frame program compiles once per capacity; the host
+    # dispatches the smallest bucket the live edge count fits, so the
+    # steady-state correlation/update/BA work scales with the REAL edge
+    # count instead of always padding to E_MAX (the reference touches
+    # only the live edge set, dpvo.py:775-787).
+    #   "auto" -> E_MAX/8, E_MAX/4, E_MAX/2, E_MAX   "off" -> E_MAX only
+    #   or an explicit comma list, e.g. "4096,12288"
+    E_BUCKETS: str = "auto"
 
     @property
     def CORR_WIDTH(self) -> int:

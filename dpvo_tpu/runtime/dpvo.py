@@ -93,7 +93,23 @@ class DPVO:
                                    # the steady-state loop (pipeline depth 1)
         self._identity_ops = np.zeros((3, cfg.E_MAX), np.int32)
         self._identity_ops[0] = np.arange(cfg.E_MAX)
-        self._framebuf = np.zeros(self.steps._layout[1], np.uint8)
+        # fused-step edge-capacity buckets (config.E_BUCKETS): one packed
+        # buffer + one compiled program per capacity, allocated lazily
+        if cfg.E_BUCKETS == "off":
+            self._buckets = [cfg.E_MAX]
+        elif cfg.E_BUCKETS == "auto":
+            align = lambda e: min(max(256, -(-e // 256) * 256), cfg.E_MAX)
+            self._buckets = sorted({align(cfg.E_MAX // 8), align(cfg.E_MAX // 4),
+                                    align(cfg.E_MAX // 2), cfg.E_MAX})
+        else:
+            self._buckets = sorted(
+                {int(x) for x in cfg.E_BUCKETS.split(",") if int(x) <= cfg.E_MAX}
+            )
+            if not self._buckets or self._buckets[-1] < cfg.E_MAX:
+                self._buckets.append(cfg.E_MAX)
+        self._framebufs = {}
+        self._pending_cap = 0      # edge rows the deferred maintenance touches
+        self._last_bucket = cfg.E_MAX  # capacity of the last fused step
         self.counter = 0           # total frames seen
         self.tlist = []            # wall timestamps per frame
         self.tstamps = []          # counter value per kept keyframe (ref pg.tstamps_)
@@ -314,10 +330,15 @@ class DPVO:
         meta[16] = n_after
         meta[17] = nstore
 
-        # topology rows, padded to E_MAX (host numpy)
+        # topology rows, padded to the chosen capacity bucket (host numpy)
         topo = self.topo
-        E = cfg.E_MAX
         Ecur = len(topo.ii)
+        need = max(Ecur, self._pending_cap if self._pending is not None else 0)
+        E = next((b for b in self._buckets if b >= need), cfg.E_MAX)
+        assert need <= E, (need, E)
+        if E not in self._framebufs:
+            self._framebufs[E] = np.zeros(self.steps.layout_for(E)[1], np.uint8)
+        self._last_bucket = E
         from dpvo_tpu.runtime.topology import neighbors as _neighbors
 
         ix, jx, hp, hn = _neighbors(topo.kk, topo.jj)
@@ -338,15 +359,16 @@ class DPVO:
         valid = np.zeros(E, np.uint8)
         valid[:Ecur] = 1
         buf = self.steps.pack_frame(
-            self._framebuf, padE(topo.kk, np.int32), padE(topo.jj, np.uint16),
+            self._framebufs[E], padE(topo.kk, np.int32), padE(topo.jj, np.uint16),
             padE(ix, np.uint16), padE(jx, np.uint16), padE(hp, np.uint8),
             padE(hn, np.uint8), valid, d2p, padE(kk_seg, np.uint16),
             padE(ij_seg, np.uint16), meta,
-            ops[0].astype(np.uint16), ops[1].astype(np.uint16), ops[2].astype(np.uint16),
+            ops[0][:E].astype(np.uint16), ops[1][:E].astype(np.uint16),
+            ops[2][:E].astype(np.uint16), E_cap=E,
         )
         _t0 = _time.perf_counter()
         self.phase_times["pack"] += _t0 - _tp
-        self.state, out_small = self.steps.frame_step(
+        self.state, out_small = self.steps.frame_step_for(E)(
             self.params, self.state, image_dev, jnp.asarray(buf), self._next_key(),
         )
         self.phase_times["dispatch"] += _time.perf_counter() - _t0
@@ -506,6 +528,9 @@ class DPVO:
         """
         cfg = self.cfg
         assert self._pending is None
+        # the deferred compaction perm references PRE-removal rows: the
+        # next fused step's capacity bucket must cover them
+        pend_cap = len(self.topo.ii)
         k_cull, n_after = -1, 0
         perm_total = None
         src_old = np.zeros(0, np.int64)
@@ -554,6 +579,7 @@ class DPVO:
         ops[1, : len(src_old)] = src_old
         ops[2, : len(dst)] = dst
         self._pending = (ops, k_cull, n_after, len(src_old))
+        self._pending_cap = pend_cap
 
     def _flush_pending(self):
         """Apply deferred payload maintenance as a standalone call (used

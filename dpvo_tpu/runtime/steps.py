@@ -68,10 +68,12 @@ class StepFunctions:
         self.global_ba = jax.jit(self._global_ba, donate_argnums=(1,))
         self.normalize = jax.jit(self._normalize, donate_argnums=(0,))
         self.point_cloud = jax.jit(self._point_cloud)
-        self.frame_step = jax.jit(self._frame_step, donate_argnums=(1,))
         self.maintenance = jax.jit(self._maintenance, donate_argnums=(0,))
         self.apply_pgo = jax.jit(self._apply_pgo, donate_argnums=(0,))
-        self._layout = self._frame_layout()
+        self._layout_memo = {}
+        self._frame_step_memo = {}
+        self._layout = self.layout_for(cfg.E_MAX)
+        self.frame_step = self.frame_step_for(cfg.E_MAX)
 
     # ---------------- packed per-frame payload ----------------
     #
@@ -84,11 +86,37 @@ class StepFunctions:
 
     PAIR_MAX = 1024  # distinct (ii, jj) pairs in the active window
 
-    def _frame_layout(self):
+    def layout_for(self, E: int):
+        """Memoized packed-frame layout at edge capacity E (the fused
+        step compiles per capacity bucket; see frame_step_for)."""
+        out = self._layout_memo.get(E)
+        if out is None:
+            out = self._layout_memo[E] = self._frame_layout(E)
+        return out
+
+    def frame_step_for(self, E_cap: int):
+        """Memoized jitted fused frame step at edge capacity E_cap.
+
+        Live edges are kept compacted in a prefix of the edge stores
+        (topology.remove ships a compaction perm), so a program that
+        correlates/updates/solves only the first E_cap rows is exact
+        whenever the host's live-edge count fits — the rest of E_MAX is
+        padding the reference never touches either (dpvo.py:775-787
+        operates on the exact edge set). Each capacity is one XLA
+        program; the host picks the smallest bucket that fits."""
+        fn = self._frame_step_memo.get(E_cap)
+        if fn is None:
+            from functools import partial
+
+            fn = jax.jit(partial(self._frame_step, E_cap=E_cap),
+                         donate_argnums=(1,))
+            self._frame_step_memo[E_cap] = fn
+        return fn
+
+    def _frame_layout(self, E: int):
         import numpy as np
 
         cfg = self.cfg
-        E = cfg.E_MAX
         M = cfg.PATCHES_PER_FRAME
         meta_len = 24 + 2 * M
         sections = [
@@ -118,14 +146,16 @@ class StepFunctions:
         return layout, off
 
     def pack_frame(self, buf, kk, jj, ix, jx, mask_ix, mask_jx, valid,
-                   d2p, kk_seg, ij_seg, meta, perm, src, dst):
+                   d2p, kk_seg, ij_seg, meta, perm, src, dst,
+                   E_cap: int = None):
         """Fill the preallocated uint8 frame buffer (host side). The
         image ships separately so its (much larger) upload can start the
         moment the frame arrives, before the keyframe decision fixes the
-        topology sections."""
+        topology sections. Edge-indexed arrays may be shorter than the
+        capacity (sections zero-fill) but never longer."""
         import numpy as np
 
-        layout, _ = self._layout
+        layout, _ = self.layout_for(E_cap or self.cfg.E_MAX)
         def put(name, arr):
             off, nbytes, dt = layout[name]
             view = buf[off:off + nbytes].view(dt)
@@ -151,12 +181,12 @@ class StepFunctions:
         put("dst", dst)
         return buf
 
-    def unpack_frame(self, buf):
+    def unpack_frame(self, buf, E_cap: int = None):
         """Device-side unpack of the topology buffer -> (es, meta, ops).
         Derives ii / circular slots / segment ids from kk, jj."""
         cfg = self.cfg
         M = cfg.PATCHES_PER_FRAME
-        layout, _ = self._layout
+        layout, _ = self.layout_for(E_cap or cfg.E_MAX)
 
         def get(name, jdt, width):
             off, nbytes, _ = layout[name]
@@ -259,17 +289,29 @@ class StepFunctions:
 
     # ---------------- deferred keyframe / retirement maintenance ----
 
+    @staticmethod
+    def _wb(full, prefix):
+        """Write a capacity-prefix result back into the full-size edge
+        store (no-op copy elision when shapes already match)."""
+        if prefix.shape[0] == full.shape[0]:
+            return prefix
+        return jax.lax.dynamic_update_slice(
+            full, prefix.astype(full.dtype), (0,) * full.ndim)
+
     def _maintenance(self, state: VOState, perm, src, dst, k, n_after, nstore):
         """Apply pending edge retirement + keyframe cull in one program.
 
-        perm [E_MAX] composed edge-payload compaction; src/dst [E_MAX]
+        perm [E_cap] composed edge-payload compaction; src/dst [E_cap]
         inactive-store copy (first nstore entries); k = deleted keyframe
         (or -1). The frame-indexed buffer permutations are derived from
         k on device (they are pure functions of (k, n_after)) so the
-        host ships only scalars (ref dpvo.py:523-568, :601-693).
+        host ships only scalars (ref dpvo.py:523-568, :601-693). At a
+        capacity below E_MAX only the live prefix is permuted — the host
+        guarantees every live edge (pre-removal) fits the bucket.
         """
         cfg = self.cfg
         M = cfg.PATCHES_PER_FRAME
+        Ecap = perm.shape[0]
 
         # inactive store first: reads pre-compaction rows (ref :537-553)
         ksl = jnp.arange(src.shape[0])
@@ -278,9 +320,9 @@ class StepFunctions:
         ti = state.target_inac.at[dst_safe].set(state.target[src], mode="drop")
         wi = state.weight_inac.at[dst_safe].set(state.weight[src], mode="drop")
 
-        net = state.net[perm]
-        target = state.target[perm]
-        weight = state.weight[perm]
+        net = self._wb(state.net, state.net[:Ecap][perm])
+        target = self._wb(state.target, state.target[:Ecap][perm])
+        weight = self._wb(state.weight, state.weight[:Ecap][perm])
         state = state._replace(
             net=net, target=target, weight=weight, target_inac=ti, weight_inac=wi
         )
@@ -344,7 +386,8 @@ class StepFunctions:
 
     # ---------------- fused steady-state frame step ----------------
 
-    def _frame_step(self, params, state: VOState, image_u8, buf, key):
+    def _frame_step(self, params, state: VOState, image_u8, buf, key,
+                    E_cap: int = None):
         """One tracked frame in a single device program: pending
         keyframe/retirement maintenance -> patchify -> ingest -> zero
         fresh edges -> update operator + sliding-window BA -> keyframe
@@ -365,7 +408,7 @@ class StepFunctions:
         """
         cfg = self.cfg
         M = cfg.PATCHES_PER_FRAME
-        es, meta, (perm, src, dst) = self.unpack_frame(buf)
+        es, meta, (perm, src, dst) = self.unpack_frame(buf, E_cap)
         n = meta[0].astype(jnp.int32)
         intr = meta[12:16]
 
@@ -417,6 +460,8 @@ class StepFunctions:
         cfg = self.cfg
         if net is None:
             net = state.net
+        if net.shape[0] != es["ii"].shape[0]:
+            net = net[: es["ii"].shape[0]]  # capacity-bucketed prefix
         coords = pops.transform(
             state.poses, state.patches, state.intrinsics, es["ii"], es["jj"], es["kk"]
         )  # [E,P,P,2]
@@ -452,7 +497,11 @@ class StepFunctions:
         cfg = self.cfg
         net, target, weight, _ = self._edge_forward(params, state, es)
 
-        state = state._replace(net=net, target=target, weight=weight)
+        state = state._replace(
+            net=self._wb(state.net, net),
+            target=self._wb(state.target, target),
+            weight=self._wb(state.weight, weight),
+        )
 
         # sliding-window BA over active edges
         ctr = state.patches[es["dense2patch"], :, cfg.P // 2, cfg.P // 2]  # [Md,3] (clip-gather)
@@ -494,7 +543,11 @@ class StepFunctions:
         """Update operator only (used before a global-BA round, which
         replaces the sliding-window solve; ref dpvo.py:812-816)."""
         net, target, weight, _ = self._edge_forward(params, state, es)
-        return state._replace(net=net, target=target, weight=weight)
+        return state._replace(
+            net=self._wb(state.net, net),
+            target=self._wb(state.target, target),
+            weight=self._wb(state.weight, weight),
+        )
 
     def _zero_edges(self, state: VOState, start, count) -> VOState:
         """Zero hidden state of freshly appended edges (ref dpvo.py:519)."""

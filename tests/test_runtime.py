@@ -166,3 +166,42 @@ def test_fused_keyframe_sync_mode(scene):
     poses, tstamps = slam.terminate()
     assert poses.shape[0] == 14
     assert np.all(np.isfinite(poses))
+
+
+def test_fused_edge_buckets_match_full_capacity(scene):
+    """Capacity-bucketed fused steps (config.E_BUCKETS) must reproduce
+    the full-E_MAX program: live edges sit in a compacted prefix, so a
+    smaller bucket only trims padding the math masks out anyway.
+
+    On a single XLA CPU device the trajectories are BITWISE identical;
+    under this suite's 8-virtual-device flags XLA picks capacity-
+    dependent reduction splits, and the ~1e-7 f32 reordering noise is
+    amplified through 20 frames of random-weight BA (garbage targets =>
+    ill-conditioned solves) to ~2e-3 — hence the loose pose tolerance
+    next to the exact structural assertions."""
+
+    def run(buckets):
+        cfg = small_cfg(KEYFRAME_THRESH=12.5, E_BUCKETS=buckets)
+        slam = DPVO(cfg, None, ht=HT, wd=WD, seed=3)
+        slam._motion_probe = lambda: 1e9
+        orig = slam._keyframe_decide
+        calls = {"i": 0}
+
+        def fixed(m, **kw):
+            calls["i"] += 1
+            orig(0.0 if calls["i"] % 3 == 0 else 1e9, **kw)
+
+        slam._keyframe_decide = fixed
+        for t in range(20):
+            slam(t, scene.render(t), scene.intrinsics.copy())
+        poses, tstamps = slam.terminate()
+        return poses, tstamps, sorted(slam._framebufs), list(slam.tstamps)
+
+    poses_full, ts_full, caps_full, kf_full = run("off")
+    poses_bkt, ts_bkt, caps_bkt, kf_bkt = run("256,512")
+    assert caps_full == [1024]
+    assert 256 in caps_bkt or 512 in caps_bkt  # small buckets actually ran
+    # identical structure: same culls, same kept keyframes
+    assert kf_bkt == kf_full
+    np.testing.assert_array_equal(ts_bkt, ts_full)
+    np.testing.assert_allclose(poses_bkt, poses_full, atol=5e-3)
