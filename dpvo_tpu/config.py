@@ -37,6 +37,13 @@ class Config:
     # timing, costs one device round trip of pipeline overlap per frame)
     # instead of one frame late (the fused pipeline's default)
     KEYFRAME_SYNC: bool = False
+    # fused-path pipeline depth: how many frames may be in flight before
+    # the host waits for a keyframe-magnitude result (the decision then
+    # lags that many frames; measured impact of lag 1 is zero on smooth
+    # motion — scripts/kf_lag_ab.py). Depth d hides d-1 device->host
+    # round trips behind device compute; the reference decides inline
+    # every frame (dpvo.py:601-693), which KEYFRAME_SYNC reproduces.
+    PIPELINE_DEPTH: int = 1
 
     # ---- motion model (ref dpvo/config.py:21-23) ----
     MOTION_MODEL: str = "DAMPED_LINEAR"

@@ -87,10 +87,15 @@ class DPVO:
         self.phase_times = {"upload": 0.0, "drain": 0.0, "pack": 0.0,
                             "dispatch": 0.0, "frames": 0}
         self._pending = None       # deferred device payload maintenance
-        self._inflight = None      # (out_small device array) of the last
-                                   # fused frame; fetched lazily so the
-                                   # host never waits on the device inside
-                                   # the steady-state loop (pipeline depth 1)
+        from collections import deque
+
+        self._inflights = deque()  # (fetch thread, box, n at dispatch) per
+                                   # fused frame still in flight; the host
+                                   # waits only when cfg.PIPELINE_DEPTH
+                                   # results are outstanding, so decisions
+                                   # lag that many frames and the
+                                   # device->host round trips hide behind
+                                   # device compute
         self._identity_ops = np.zeros((3, cfg.E_MAX), np.int32)
         self._identity_ops[0] = np.arange(cfg.E_MAX)
         # fused-step edge-capacity buckets (config.E_BUCKETS): one packed
@@ -183,10 +188,11 @@ class DPVO:
         _t0 = _time.perf_counter()
         image_dev = jax.device_put(image)
         _t1 = _time.perf_counter()
-        # retire the previous fused frame: fetch its keyframe flow
-        # magnitude (usually already landed host-side) and apply the
-        # keyframe/retirement decision to the host topology
-        self._drain_inflight()
+        # retire fused frames beyond the pipeline depth: fetch their
+        # keyframe flow magnitude (usually already landed host-side) and
+        # apply the keyframe/retirement decision to the host topology
+        while len(self._inflights) >= max(cfg.PIPELINE_DEPTH, 1):
+            self._drain_one()
         pt = self.phase_times
         pt["upload"] += _t1 - _t0
         pt["drain"] += _time.perf_counter() - _t1
@@ -386,7 +392,7 @@ class DPVO:
 
         th = threading.Thread(target=fetch, daemon=True)
         th.start()
-        self._inflight = (th, box)
+        self._inflights.append((th, box, self.n))
         if cfg.KEYFRAME_SYNC:
             # reference-exact semantics: apply the keyframe decision
             # before the next frame (dpvo.py:601-693 decides inline).
@@ -398,14 +404,25 @@ class DPVO:
             self.long_term_lc.attempt_loop_closure(self.n)
             self.long_term_lc.lc_callback()
 
-    def _drain_inflight(self):
-        if self._inflight is None:
-            return
-        th, box = self._inflight
-        self._inflight = None
+    def _drain_one(self):
+        """Consume the oldest in-flight fused-frame result and apply its
+        keyframe/retirement decision."""
+        th, box, n_disp = self._inflights.popleft()
         th.join()
         out_small = box["v"]
-        self._keyframe_decide(float(out_small[0]), pose_pair=out_small[1:].reshape(2, 7))
+        if self._pending is not None:
+            # back-to-back decisions (flush path): apply the previous
+            # one's payload maintenance before deciding again
+            self._apply_pending()
+        # the prefetched pose pair indexes rows of the DISPATCH-time
+        # frame count; only valid if no frame/cull moved them since
+        # (always true at depth 1 / KEYFRAME_SYNC)
+        pair = out_small[1:].reshape(2, 7) if n_disp == self.n else None
+        self._keyframe_decide(float(out_small[0]), pose_pair=pair)
+
+    def _drain_inflight(self):
+        while self._inflights:
+            self._drain_one()
 
     def _append(self, kk, jj, defer_zero: bool = False):
         overflow = len(self.topo.ii) + len(kk) - self.cfg.E_MAX
@@ -581,10 +598,8 @@ class DPVO:
         self._pending = (ops, k_cull, n_after, len(src_old))
         self._pending_cap = pend_cap
 
-    def _flush_pending(self):
-        """Apply deferred payload maintenance as a standalone call (used
-        whenever device state is read/updated outside the fused step)."""
-        self._drain_inflight()
+    def _apply_pending(self):
+        """Apply deferred payload maintenance as a standalone call."""
         if self._pending is None:
             return
         ops, k_cull, n_after, nstore = self._pending
@@ -593,6 +608,12 @@ class DPVO:
             self.state, jnp.asarray(ops[0]), jnp.asarray(ops[1]), jnp.asarray(ops[2]),
             jnp.int32(k_cull), jnp.int32(n_after), jnp.int32(nstore),
         )
+
+    def _flush_pending(self):
+        """Drain the pipeline and apply deferred maintenance (used
+        whenever device state is read/updated outside the fused step)."""
+        self._drain_inflight()
+        self._apply_pending()
 
     def _remove_store(self, mask) -> VOState:
         self._flush_pending()

@@ -146,7 +146,7 @@ def test_fused_steady_state_pipeline(scene):
     n_frames = 20
     for t in range(n_frames):
         slam(t, scene.render(t), scene.intrinsics.copy())
-    assert slam._inflight is not None  # steady state really pipelines
+    assert len(slam._inflights) > 0  # steady state really pipelines
     n_culled = calls["i"] // 3
     assert slam.n == n_frames - n_culled - 1 + 1  # culls applied (one lags)
     poses, tstamps = slam.terminate()
@@ -205,3 +205,34 @@ def test_fused_edge_buckets_match_full_capacity(scene):
     assert kf_bkt == kf_full
     np.testing.assert_array_equal(ts_bkt, ts_full)
     np.testing.assert_allclose(poses_bkt, poses_full, atol=5e-3)
+
+
+def test_fused_pipeline_depth(scene):
+    """PIPELINE_DEPTH=3 keeps up to 3 fused frames in flight (keyframe
+    decisions lag 3 frames); bookkeeping must stay consistent through
+    culls and the trajectory complete and finite."""
+    cfg = small_cfg(KEYFRAME_THRESH=12.5, PIPELINE_DEPTH=3)
+    slam = DPVO(cfg, None, ht=HT, wd=WD, seed=3)
+    slam._motion_probe = lambda: 1e9
+    orig = slam._keyframe_decide
+    calls = {"i": 0}
+
+    def fixed(m, **kw):
+        calls["i"] += 1
+        orig(0.0 if calls["i"] % 3 == 0 else 1e9, **kw)
+
+    slam._keyframe_decide = fixed
+    depth_seen = 0
+    n_frames = 20
+    for t in range(n_frames):
+        slam(t, scene.render(t), scene.intrinsics.copy())
+        depth_seen = max(depth_seen, len(slam._inflights))
+    assert depth_seen == 3  # the pipeline really runs deep
+    poses, tstamps = slam.terminate()
+    assert poses.shape[0] == n_frames
+    assert np.all(np.isfinite(poses))
+    qn = np.linalg.norm(poses[:, 3:], axis=1)
+    assert np.allclose(qn, 1.0, atol=1e-3)
+    # decisions all consumed: one cull per 3 decides, each applied
+    n_culled = calls["i"] // 3
+    assert slam.n == n_frames - n_culled
