@@ -44,6 +44,12 @@ def main():
                 break
             kv.append(a)
         overrides = dict(zip(kv[0::2], kv[1::2]))
+    # keep 4 fused frames in flight: hides the tunnel round trip behind
+    # device compute; the keyframe decision lags 4 frames, which the
+    # trained-weights A/B showed has no trajectory impact on smooth
+    # motion (scripts/kf_lag_ab.py, PARITY.md). Override with
+    # --opts PIPELINE_DEPTH 1 for reference-timing runs.
+    overrides.setdefault("PIPELINE_DEPTH", "4")
     cfg = load_config(yaml if os.path.exists(yaml) else None, overrides)
 
     # trained weights: --network PATH, $DPVO_BENCH_NETWORK, or the
