@@ -192,7 +192,8 @@ def main():
         from dpvo_tpu.train import make_val_step
 
         step_fn = make_train_step(cfg, tx, STEPS=args.unroll,
-                                  flow_weight=args.flow_weight, pose_weight=args.pose_weight)
+                                  flow_weight=args.flow_weight, pose_weight=args.pose_weight,
+                                  frozen_encoders=args.freeze_encoders)
         val_fn = (make_val_step(cfg, STEPS=args.unroll,
                                 flow_weight=args.flow_weight,
                                 pose_weight=args.pose_weight)

@@ -99,9 +99,19 @@ def vo_forward(
     key,
     STEPS: int = 18,
     structure_only: bool = False,
+    frozen_encoders: bool = False,
+    remat: bool = True,
 ):
     """Returns a list of per-step supervision tuples:
     (valid [Es], coords [Es,P,P,2], coords_gt [Es,P,P,2], poses [F,7], n).
+
+    ``remat`` wraps each unroll step in ``jax.checkpoint`` so the
+    backward pass recomputes per-step activations (corr volumes, GRU
+    hiddens) instead of keeping all STEPS of them live — the HBM cost
+    drops from O(STEPS * E * 882) to O(E * 882) at ~1 extra forward of
+    FLOPs. ``frozen_encoders`` severs the gradient path through the
+    patchifier entirely (the optimizer already zeroes those updates),
+    which also frees every encoder conv activation.
     """
     F, H, W, _ = images.shape
     M, P = cfg.PATCHES_PER_FRAME, cfg.P
@@ -120,6 +130,10 @@ def vo_forward(
         params["patchifier"], images_n, M, k_pf, disps=disps4,
         centroid_sel_strat=cfg.CENTROID_SEL_STRAT,
     )
+    if frozen_encoders:
+        fmap, gmap, imap, patches = jax.tree.map(
+            jax.lax.stop_gradient, (fmap, gmap, imap, patches)
+        )
     # fmap [F,h,w,fdim] -> 2-level NHWC pyramid (ref CorrBlock levels 1,4)
     pyr1 = fmap.astype(fdt)
     pyr2 = avg_pool2d_nhwc(pyr1, 4)
@@ -141,70 +155,76 @@ def vo_forward(
     drop_keys = jax.random.split(k_drop, STEPS)
 
     traj = []
-    valid_edges_mask = np.ones(E_total, bool)  # static ceiling; per-step slice
     for s, st in enumerate(schedule):
         Es = len(st.kk)
         kk = jnp.asarray(st.kk, jnp.int32)
         jj = jnp.asarray(st.jj, jnp.int32)
         ii = jnp.asarray(st.ii, jnp.int32)
-
-        if st.new_frame > 0:
-            nf = st.new_frame
-            if not structure_only:
-                Gs = Gs.at[nf].set(Gs[nf - 1])  # (ref :478)
-            # median depth init from the previous two frames (ref :496)
-            prev = patches[(nf - 2) * M : nf * M, 2]
-            med = jnp.median(prev)
-            patches = patches.at[nf * M : (nf + 1) * M, 2].set(med)
-
-        # random frame-edge dropout as a validity mask (ref :489-494)
-        ks1, ks2 = jax.random.split(drop_keys[s])
-        do_drop = jax.random.uniform(ks1) < 0.1
-        drop_frame = st.n - 4
-        dropped = (ii == drop_frame) | (jj == drop_frame)
-        valid = ~(do_drop & dropped)
-
-        Gs = jax.lax.stop_gradient(Gs)
-        patches = jax.lax.stop_gradient(patches)
-
-        coords = edge_shard(pops.transform(Gs, patches, intr_all, ii, jj, kk))
-        corr = corr_features_xla(
-            gmap, pyr1, pyr2, coords.astype(jnp.float32), kk, jj, valid,
-            radius=cfg.CORR_RADIUS,
-        )
-        corr = edge_shard(corr.reshape(Es, -1).astype(fdt))
-
-        net = edge_shard(net_full[:Es])
-        net, delta, weight = up.apply(
-            params["update"], net, imap[kk].astype(fdt), corr,
-            jnp.asarray(st.ix, jnp.int32), jnp.asarray(st.jx, jnp.int32),
-            jnp.asarray(st.mask_ix), jnp.asarray(st.mask_jx),
-            jnp.asarray(st.kk_seg), jnp.asarray(st.ij_seg), valid,
-            num_segments=Es,
-        )
-        net_full = net_full.at[:Es].set(net)
-
-        target = coords[:, P // 2, P // 2, :].astype(jnp.float32) + delta
-        wgt = weight * valid[:, None]
-
-        # two differentiable BA iterations (ref :509-511)
-        ctr = patches[:, :, P // 2, P // 2]  # all F*M patches are depth vars
-        Gs, depths = ba_solver.ba(
-            Gs, ctr, intr_all, target, wgt, valid, ii, jj, kk,
-            jnp.int32(1), jnp.int32(st.n - 1), bounds, jnp.float32(1e-4),
-            W=F, Md=F * M, iterations=2, ep=10.0, lm=1e-4, res_clip=250.0,
-            clamp_mode="train",
-        )
-        dz = depths - ctr[:, 2]
-        patches = patches.at[:, 2].add(dz[:, None, None])
-
-        # supervision on short-baseline edges (ref :513-520)
         sup = st.sup
-        cs = pops.transform(Gs, patches, intr_all, ii[sup], jj[sup], kk[sup])
-        cs_gt, val_gt = pops.transform(
-            poses_gt, patches_gt, intr_all, ii[sup], jj[sup], kk[sup], valid=True
-        )
-        val = val_gt * valid[sup]
-        traj.append((val, cs, cs_gt, Gs, st.n))
+
+        def step_body(Gs, patches, net_full, step_key,
+                      s=s, st=st, Es=Es, kk=kk, jj=jj, ii=ii, sup=sup):
+            if st.new_frame > 0:
+                nf = st.new_frame
+                if not structure_only:
+                    Gs = Gs.at[nf].set(Gs[nf - 1])  # (ref :478)
+                # median depth init from the previous two frames (ref :496)
+                prev = patches[(nf - 2) * M : nf * M, 2]
+                med = jnp.median(prev)
+                patches = patches.at[nf * M : (nf + 1) * M, 2].set(med)
+
+            # random frame-edge dropout as a validity mask (ref :489-494)
+            ks1, _ = jax.random.split(step_key)
+            do_drop = jax.random.uniform(ks1) < 0.1
+            drop_frame = st.n - 4
+            dropped = (ii == drop_frame) | (jj == drop_frame)
+            valid = ~(do_drop & dropped)
+
+            Gs = jax.lax.stop_gradient(Gs)
+            patches = jax.lax.stop_gradient(patches)
+
+            coords = edge_shard(pops.transform(Gs, patches, intr_all, ii, jj, kk))
+            corr = corr_features_xla(
+                gmap, pyr1, pyr2, coords.astype(jnp.float32), kk, jj, valid,
+                radius=cfg.CORR_RADIUS,
+            )
+            corr = edge_shard(corr.reshape(Es, -1).astype(fdt))
+
+            net = edge_shard(net_full[:Es])
+            net, delta, weight = up.apply(
+                params["update"], net, imap[kk].astype(fdt), corr,
+                jnp.asarray(st.ix, jnp.int32), jnp.asarray(st.jx, jnp.int32),
+                jnp.asarray(st.mask_ix), jnp.asarray(st.mask_jx),
+                jnp.asarray(st.kk_seg), jnp.asarray(st.ij_seg), valid,
+                num_segments=Es,
+            )
+            net_full = net_full.at[:Es].set(net)
+
+            target = coords[:, P // 2, P // 2, :].astype(jnp.float32) + delta
+            wgt = weight * valid[:, None]
+
+            # two differentiable BA iterations (ref :509-511)
+            ctr = patches[:, :, P // 2, P // 2]  # all F*M patches are depth vars
+            Gs, depths = ba_solver.ba(
+                Gs, ctr, intr_all, target, wgt, valid, ii, jj, kk,
+                jnp.int32(1), jnp.int32(st.n - 1), bounds, jnp.float32(1e-4),
+                W=F, Md=F * M, iterations=2, ep=10.0, lm=1e-4, res_clip=250.0,
+                clamp_mode="train",
+            )
+            dz = depths - ctr[:, 2]
+            patches = patches.at[:, 2].add(dz[:, None, None])
+
+            # supervision on short-baseline edges (ref :513-520)
+            cs = pops.transform(Gs, patches, intr_all, ii[sup], jj[sup], kk[sup])
+            cs_gt, val_gt = pops.transform(
+                poses_gt, patches_gt, intr_all, ii[sup], jj[sup], kk[sup], valid=True
+            )
+            val = val_gt * valid[sup]
+            return Gs, patches, net_full, (val, cs, cs_gt, Gs)
+
+        if remat:
+            step_body = jax.checkpoint(step_body)
+        Gs, patches, net_full, out = step_body(Gs, patches, net_full, drop_keys[s])
+        traj.append((*out, st.n))
 
     return traj

@@ -42,7 +42,8 @@ def make_optimizer(lr: float = 8e-5, total_steps: int = 240000, clip: float = 10
     ), schedule
 
 
-def make_train_step(cfg: Config, tx, STEPS: int = 18, flow_weight=0.1, pose_weight=10.0):
+def make_train_step(cfg: Config, tx, STEPS: int = 18, flow_weight=0.1, pose_weight=10.0,
+                    frozen_encoders: bool = False):
     """Returns jitted train_step(params, opt_state, batch, key, structure_only).
 
     batch: dict(images [B,F,H,W,3], poses [B,F,7] world-to-camera,
@@ -56,7 +57,7 @@ def make_train_step(cfg: Config, tx, STEPS: int = 18, flow_weight=0.1, pose_weig
         def single(img, pose, disp, intr, k):
             traj = vo_forward(
                 params, cfg, img, pose, disp, intr, k, STEPS=STEPS,
-                structure_only=structure_only,
+                structure_only=structure_only, frozen_encoders=frozen_encoders,
             )
             return clip_loss(
                 traj, pose, cfg.P, flow_weight=flow_weight,
