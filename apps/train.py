@@ -201,16 +201,26 @@ def main():
         feed = device_feed()
         import time as _time
         tlast = _time.time()
+        # --- divergence guard state: best-val snapshot + LR backoff ---
+        # (the round-2 flagship run oscillated val_loss 145<->1190 with no
+        # guard; on a 2x regression we restore the best params/opt_state
+        # and halve the update scale instead of riding the divergence)
+        lr_scale = 1.0
+        best_val = float("inf")
+        best_snap = None  # host copies of (params, opt_state, step)
         for step in range(start_step, args.steps):
             batch = next(feed)
             key, sub = jax.random.split(key)
             so = (step < args.structure_only and args.ckpt is None
                   and args.init_npz is None and start_step == 0)
-            params, opt_state, metrics = step_fn(params, opt_state, batch, sub, structure_only=so)
+            params, opt_state, metrics = step_fn(
+                params, opt_state, batch, sub, structure_only=so,
+                lr_scale=jnp.float32(lr_scale))
             if (step + 1) % args.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}  # device sync
                 now = _time.time()
                 m["steps_per_s"] = args.log_every / max(now - tlast, 1e-9)
+                m["lr_scale"] = lr_scale
                 tlast = now
                 logger.push(m, step=step + 1)
 
@@ -220,6 +230,25 @@ def main():
                 logger.write_dict(vm, step=step + 1)
                 print(f"[val @{step+1}] " +
                       " ".join(f"{k}={v:.4g}" for k, v in vm.items()), flush=True)
+                # guard engages only once the pose loss is live: during the
+                # structure-only warmup the full-BA val loss is not
+                # comparable to post-warmup losses
+                if step + 1 > args.structure_only or args.init_npz or args.ckpt:
+                    vl = vm["val_loss"]
+                    if vl < best_val:
+                        best_val = vl
+                        best_snap = (jax.device_get(params),
+                                     jax.device_get(opt_state), step + 1)
+                        save_params(f"checkpoints/{args.name}_best.npz",
+                                    best_snap[0])
+                    elif vl > 2.0 * best_val and best_snap is not None:
+                        lr_scale = max(lr_scale * 0.5, 1.0 / 64.0)
+                        params = jax.device_put(best_snap[0])
+                        opt_state = jax.device_put(best_snap[1])
+                        print(f"[guard @{step+1}] val_loss {vl:.1f} > 2x best "
+                              f"{best_val:.1f}: restored best (step "
+                              f"{best_snap[2]}), lr_scale -> {lr_scale:.4f}",
+                              flush=True)
 
             if (step + 1) % args.npz_every == 0:
                 save_params(f"checkpoints/{args.name}_{step+1:06d}.npz", jax.device_get(params))

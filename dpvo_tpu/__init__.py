@@ -24,4 +24,22 @@ Layers (mirrors SURVEY.md §2 component inventory):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if not _os.environ.get("DPVO_NO_COMPILE_CACHE"):
+    # Persistent XLA compilation cache: the fused frame step / training
+    # step are multi-minute compiles on a tunneled TPU backend; caching
+    # them makes every restart (training resume, bench re-run, test
+    # re-run) hit warm executables instead of recompiling.
+    import jax as _jax
+
+    _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                             _os.path.expanduser("~/.cache/dpvo_tpu_xla"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax without these flags: cache is an optimization only
+
 from dpvo_tpu.config import Config, load_config  # noqa: F401

@@ -106,10 +106,10 @@ def vo_forward(
     (valid [Es], coords [Es,P,P,2], coords_gt [Es,P,P,2], poses [F,7], n).
 
     ``remat`` wraps each unroll step in ``jax.checkpoint`` so the
-    backward pass recomputes per-step activations (corr volumes, GRU
-    hiddens) instead of keeping all STEPS of them live — the HBM cost
-    drops from O(STEPS * E * 882) to O(E * 882) at ~1 extra forward of
-    FLOPs. ``frozen_encoders`` severs the gradient path through the
+    backward pass recomputes per-step corr/GRU activations instead of
+    keeping all STEPS of them live — those drop from O(STEPS * E * 882)
+    to O(E * 882) at ~1 extra forward of FLOPs (the per-step supervision
+    outputs still scale with STEPS; they feed the loss directly). ``frozen_encoders`` severs the gradient path through the
     patchifier entirely (the optimizer already zeroes those updates),
     which also frees every encoder conv activation.
     """
@@ -163,7 +163,7 @@ def vo_forward(
         sup = st.sup
 
         def step_body(Gs, patches, net_full, step_key,
-                      s=s, st=st, Es=Es, kk=kk, jj=jj, ii=ii, sup=sup):
+                      st=st, Es=Es, kk=kk, jj=jj, ii=ii, sup=sup):
             if st.new_frame > 0:
                 nf = st.new_frame
                 if not structure_only:
@@ -173,7 +173,9 @@ def vo_forward(
                 med = jnp.median(prev)
                 patches = patches.at[nf * M : (nf + 1) * M, 2].set(med)
 
-            # random frame-edge dropout as a validity mask (ref :489-494)
+            # random frame-edge dropout as a validity mask (ref :489-494).
+            # The split (discarding the second key) keeps the dropout
+            # draws identical to the pre-remat RNG stream.
             ks1, _ = jax.random.split(step_key)
             do_drop = jax.random.uniform(ks1) < 0.1
             drop_frame = st.n - 4
@@ -203,11 +205,16 @@ def vo_forward(
             target = coords[:, P // 2, P // 2, :].astype(jnp.float32) + delta
             wgt = weight * valid[:, None]
 
-            # two differentiable BA iterations (ref :509-511)
+            # two differentiable BA iterations (ref :509-511). During the
+            # structure_only warmup the reference BA freezes ALL poses at
+            # ground truth and solves depths only (ref ba.py BA(...,
+            # structure_only=True) via train.py so<1000) — nfree=0 makes
+            # the pose system an identity solve here.
             ctr = patches[:, :, P // 2, P // 2]  # all F*M patches are depth vars
+            nfree = jnp.int32(0 if structure_only else st.n - 1)
             Gs, depths = ba_solver.ba(
                 Gs, ctr, intr_all, target, wgt, valid, ii, jj, kk,
-                jnp.int32(1), jnp.int32(st.n - 1), bounds, jnp.float32(1e-4),
+                jnp.int32(1), nfree, bounds, jnp.float32(1e-4),
                 W=F, Md=F * M, iterations=2, ep=10.0, lm=1e-4, res_clip=250.0,
                 clamp_mode="train",
             )

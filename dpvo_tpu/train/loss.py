@@ -35,7 +35,11 @@ def pose_error(Gs, Ps, n: int):
 
     t1 = P1[:, :3]
     t2 = P2[:, :3]
-    s = jax.lax.stop_gradient(jnp.minimum(kabsch_scale(t2, t1), 10.0))
+    # The reference clamps only the top (train.py:105 .clamp(max=10)); on
+    # low-parallax clips the closed-form scale can also collapse toward 0
+    # (tiny gt-translation variance / noisy predicted translations), which
+    # makes the translation term explode — clamp both sides.
+    s = jax.lax.stop_gradient(jnp.clip(kabsch_scale(t2, t1), 0.1, 10.0))
     P1 = se3.scale(P1, jnp.full((n,), s))
 
     ii, jj = jnp.meshgrid(jnp.arange(n), jnp.arange(n), indexing="ij")

@@ -43,11 +43,15 @@ def make_optimizer(lr: float = 8e-5, total_steps: int = 240000, clip: float = 10
 
 
 def make_train_step(cfg: Config, tx, STEPS: int = 18, flow_weight=0.1, pose_weight=10.0,
-                    frozen_encoders: bool = False):
-    """Returns jitted train_step(params, opt_state, batch, key, structure_only).
+                    frozen_encoders: bool = False, remat: bool = True):
+    """Returns jitted train_step(params, opt_state, batch, key, structure_only,
+    lr_scale).
 
     batch: dict(images [B,F,H,W,3], poses [B,F,7] world-to-camera,
-    disps [B,F,H,W], intrinsics [B,4]).
+    disps [B,F,H,W], intrinsics [B,4]). ``lr_scale`` multiplies the
+    optimizer updates — the host-side divergence guard halves it when
+    validation regresses (the schedule itself stays on its OneCycle
+    trajectory).
     """
 
     def loss_fn(params, batch, key, structure_only):
@@ -58,6 +62,7 @@ def make_train_step(cfg: Config, tx, STEPS: int = 18, flow_weight=0.1, pose_weig
             traj = vo_forward(
                 params, cfg, img, pose, disp, intr, k, STEPS=STEPS,
                 structure_only=structure_only, frozen_encoders=frozen_encoders,
+                remat=remat,
             )
             return clip_loss(
                 traj, pose, cfg.P, flow_weight=flow_weight,
@@ -70,11 +75,13 @@ def make_train_step(cfg: Config, tx, STEPS: int = 18, flow_weight=0.1, pose_weig
         return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
 
     @partial(jax.jit, static_argnames=("structure_only",), donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, key, structure_only: bool = False):
+    def train_step(params, opt_state, batch, key, structure_only: bool = False,
+                   lr_scale: float = 1.0):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, key, structure_only
         )
         updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(params, updates)
         metrics["loss"] = loss
         metrics["gnorm"] = optax.global_norm(grads)
@@ -95,7 +102,9 @@ def make_val_step(cfg: Config, STEPS: int = 18, flow_weight=0.1, pose_weight=10.
         keys = jax.random.split(key, B)
 
         def single(img, pose, disp, intr, k):
-            traj = vo_forward(params, cfg, img, pose, disp, intr, k, STEPS=STEPS)
+            # forward-only: remat would only insert optimization barriers
+            traj = vo_forward(params, cfg, img, pose, disp, intr, k,
+                              STEPS=STEPS, remat=False)
             return clip_loss(traj, pose, cfg.P, flow_weight=flow_weight,
                              pose_weight=pose_weight)
 

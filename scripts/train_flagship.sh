@@ -7,17 +7,31 @@
 # no dataset ships in this container, so the synthetic stream stands
 # in and the encoders start from the reference's shipped weights).
 #
-# Checkpoints land in checkpoints/synth_r2_*.npz every 1000 steps;
-# grade them with:
-#   python apps/eval_synthetic.py --network checkpoints/synth_r2_XXXX.npz --trials 1
+# Round-3 recipe changes vs the diverged round-2 run:
+#   - fp32 training (the reference trains the whole VONet forward under
+#     @autocast(enabled=False), net.py:438; round 2 trained bf16)
+#   - structure_only warmup now actually freezes poses at GT in the BA
+#     (vonet.py nfree=0 fix)
+#   - min translational flow raised 2->6 px so every clip has real
+#     parallax (Umeyama scale alignment in the pose loss is degenerate
+#     without it; the reference's TartanAir sampler enforces fmin=10)
+#   - both-sided Umeyama scale clamp in the loss
+#   - divergence guard: best-val snapshot restore + LR backoff
+#
+# Checkpoints land in checkpoints/synth_r3_*.npz every 1000 steps plus
+# checkpoints/synth_r3_best.npz at every validation improvement; grade
+# with:
+#   python apps/eval_synthetic.py --network checkpoints/synth_r3_best.npz --trials 1
 # and promote a passing one to weights/vonet_synth.npz (bench.py and
 # the demo pick it up automatically).
 set -e
 cd "$(dirname "$0")/.."
-nohup python -u apps/train.py --name synth_r2 --dataset synthetic \
+nohup python -u apps/train.py --name synth_r3 --dataset synthetic \
   --ht 176 --wd 240 --n_frames 15 --unroll 18 --batch 1 \
-  --steps 60000 --lr 8e-5 \
+  --steps 30000 --lr 8e-5 \
+  --opts MIXED_PRECISION False \
+  --flow_t 6,28 --flow_r 0.5,6 \
   --init_encoders /root/reference/onnx_models --freeze_encoders \
-  --reservoir 64 --val_every 500 --npz_every 1000 --ckpt_every 5000 \
+  --reservoir 64 --val_every 250 --npz_every 1000 --ckpt_every 5000 \
   > /tmp/train_flagship.log 2>&1 &
 echo "train pid $!"
