@@ -9,8 +9,12 @@ Re-design of the reference DPV-SLAM classic backend
                                      slam/retrieval.py)
   DISK + LightGlue keypoints      -> ORB + ratio-test hamming matching
                                      (same detector the retrieval uses)
-  structure-only fastba triangul. -> DLT triangulation against the
-                                     neighbor keyframe with VO poses
+  structure-only fastba triangul. -> structure-only ba/solver.py solve
+                                     (nfree=0) over the (i-1, i, i+1)
+                                     triplet, 6 iterations, residual<2px
+                                     + depth<20 gating — the reference's
+                                     estimate_3d_keypoints mini patch
+                                     graph (long_term.py:70-138)
   RANSAC-Umeyama Sim(3)           -> same algorithm
                                      (optim_utils.py:117-150)
   async Sim3 PGO worker pool      -> slam/pgo.py LM solver (JAX), run
@@ -32,8 +36,10 @@ from dpvo_tpu.eval.ate import umeyama_alignment
 from dpvo_tpu.lie import sim3
 
 MIN_INLIERS = 30       # ref long_term.py:207
-RANSAC_ITERS = 200     # ref optim_utils.py:121
+RANSAC_ITERS = 400     # ref long_term.py:239 close_loop
 RANSAC_TAU = 0.1       # inlier threshold as a fraction of cloud scale
+N_LC = 512             # padded keypoint capacity of the mini triplet BA
+                       # (one compile; the reference caps at 2048 DISK kps)
 
 
 def ransac_umeyama(X: np.ndarray, Y: np.ndarray, iters: int = RANSAC_ITERS,
@@ -61,7 +67,15 @@ def ransac_umeyama(X: np.ndarray, Y: np.ndarray, iters: int = RANSAC_ITERS,
             best = inl
     if best is None or best_count < MIN_INLIERS:
         return None
-    R, t, s = umeyama_alignment(X[best].T, Y[best].T, with_scale=True)
+    # final fit on the consensus set, then one inlier-refit round: the
+    # 3-point hypothesis that won RANSAC is noisy; refitting on its
+    # inliers and re-gating tightens the estimate at negligible cost
+    for _ in range(2):
+        R, t, s = umeyama_alignment(X[best].T, Y[best].T, with_scale=True)
+        pred = s * X @ R.T + t
+        best = np.linalg.norm(pred - Y, axis=1) < tau * scale
+        if best.sum() < MIN_INLIERS:
+            return None
     return R, t, s, best
 
 
@@ -71,6 +85,63 @@ def _pose_matrix(pose7: np.ndarray) -> np.ndarray:
     import jax.numpy as jnp
 
     return np.asarray(se3.to_matrix(jnp.asarray(pose7)))
+
+
+def _triplet_structure_ba(poses3, intr_full, kp_xy, targets, tvalid, d0):
+    """Structure-only BA over a keyframe triplet (ref long_term.py:108-131).
+
+    poses3 [3,7]: world-to-camera poses of (i-1, i, i+1); intr_full [4]:
+    full-resolution intrinsics; kp_xy [N_LC,2]: center-frame keypoints
+    (full-res px); targets [2,N_LC,2]: their matched positions in the two
+    neighbor frames; tvalid [2,N_LC]: which of those matches exist; d0:
+    initial inverse depth (median of the center keyframe's patch depths,
+    ref :112). All 3 poses stay fixed (nfree=0); only the N_LC inverse
+    depths are solved, 6 Gauss-Newton iterations at lambda=1e-3 (ref
+    :125-128). Returns (X [N_LC,3] points in the center-camera frame,
+    keep [N_LC] bool: max edge residual < 2px and depth < 20, ref
+    :130-137 + close_loop's z<20 gate :213-218).
+    """
+    import jax.numpy as jnp
+
+    from dpvo_tpu.ba import solver as ba_solver
+    from dpvo_tpu.geom import projective as pops
+
+    n = kp_xy.shape[0]
+    ctr = jnp.concatenate(
+        [jnp.asarray(kp_xy, jnp.float32), jnp.full((n, 1), d0, jnp.float32)], axis=1
+    )
+    intr3 = jnp.tile(jnp.asarray(intr_full, jnp.float32)[None], (3, 1))
+    target = jnp.asarray(targets, jnp.float32).reshape(2 * n, 2)
+    valid = jnp.asarray(tvalid).reshape(2 * n)
+    weight = jnp.ones((2 * n, 2), jnp.float32) * valid[:, None]
+    ii = jnp.full((2 * n,), 1, jnp.int32)
+    jj = jnp.concatenate([jnp.zeros(n, jnp.int32), jnp.full((n,), 2, jnp.int32)])
+    kd = jnp.tile(jnp.arange(n, dtype=jnp.int32), 2)
+    # generous bounds: gating is by the 2px residual mask below, the
+    # ref mini graph passes the fastba defaults
+    wd = float(intr_full[2]) * 2.0
+    ht = float(intr_full[3]) * 2.0
+    bounds = jnp.array([-64.0, -64.0, wd + 64.0, ht + 64.0], jnp.float32)
+
+    poses, depths = ba_solver.ba(
+        jnp.asarray(poses3, jnp.float32), ctr, intr3, target, weight, valid,
+        ii, jj, kd, jnp.int32(0), jnp.int32(0), bounds, jnp.float32(1e-3),
+        W=4, Md=n, iterations=6, res_clip=128.0, clamp_mode="runtime",
+    )
+
+    ctr_opt = jnp.concatenate([ctr[:, :2], depths[:, None]], axis=1)
+    coords = pops.transform(poses, ctr_opt[:, :, None, None], intr3, ii, jj, kd)
+    resid = jnp.linalg.norm(coords[:, 0, 0, :] - target, axis=-1)
+    resid = jnp.where(valid, resid, 0.0)  # absent neighbor: no veto
+    rmax = jnp.maximum(resid[:n], resid[n:])
+    z = 1.0 / jnp.maximum(depths, 1e-8)
+    keep = (rmax < 2.0) & (z < 20.0) & jnp.any(jnp.asarray(tvalid), axis=0)
+
+    fx, fy, cx, cy = (float(intr_full[k]) for k in range(4))
+    X = jnp.stack(
+        [(ctr[:, 0] - cx) / fx * z, (ctr[:, 1] - cy) / fy * z, z], axis=1
+    )
+    return np.asarray(X), np.asarray(keep)
 
 
 class LongTermLoopClosure:
@@ -183,55 +254,71 @@ class LongTermLoopClosure:
     def _package(self, cand: Tuple[int, int]):
         """Descriptor matching for a loop candidate (worker thread: the
         retrieval DB is only touched here); posts the pixel-level
-        correspondence package for the tracking thread's geometry."""
+        correspondence package for the tracking thread's geometry.
+        Each loop frame gets matches to BOTH temporal neighbors so the
+        tracking thread can run the triplet structure-only BA (the
+        reference tracks keypoints across (i-1, i, i+1),
+        long_term.py:80-90)."""
         q, rr = cand
         r = self.retrieval
         m_qr = r.match(q, rr)
         if len(m_qr[2]) < MIN_INLIERS:
             return
-        nbq = q + 1 if q + 1 < r.n_frames() else q - 1
-        nbr = rr + 1 if rr + 1 < r.n_frames() else rr - 1
+        nf = r.n_frames()
+
+        def nb_matches(f):
+            return [(nb, r.match(f, nb)) for nb in (f - 1, f + 1) if 0 <= nb < nf]
+
         self._cands.put(dict(
             gen=self._rm_done,
             q=q, rr=rr, m_qr=m_qr,
-            nbq=nbq, m_q=r.match(q, nbq),
-            nbr=nbr, m_r=r.match(rr, nbr),
+            nbs_q=nb_matches(q), nbs_r=nb_matches(rr),
         ))
 
     # ---- geometry (ref long_term.py:70-138 estimate_3d_keypoints) ----
 
-    def _triangulate(self, poses: np.ndarray, i: int, nb: int, match,
-                     kp_idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """3-D points (camera-i frame) for keypoints kp_idx of frame i,
-        triangulated against neighbor keyframe nb using the worker's
-        match package (pa, pb, ia, ib). Returns (X [len(kp_idx), 3],
-        good [len(kp_idx)] bool), aligned with kp_idx."""
-        import cv2
-
-        pa, pb, ia, ib = match
-        row_of = {int(a): k for k, a in enumerate(ia)}
-
-        X_out = np.zeros((len(kp_idx), 3))
-        good = np.zeros(len(kp_idx), bool)
-        rows = [(out_k, row_of[int(a)]) for out_k, a in enumerate(kp_idx) if int(a) in row_of]
-        if len(rows) < 8:
+    def _triangulate(self, poses: np.ndarray, i: int, nbs, kp_idx: np.ndarray,
+                     kp_xy: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """3-D points (camera-i frame) for keypoints kp_idx of frame i
+        (full-res pixel coords kp_xy, aligned with kp_idx), solved by a
+        structure-only BA over the (i-1, i, i+1) triplet using the
+        worker's neighbor match packages nbs = [(nb, (pa, pb, ia, ib)),
+        ...] (ref long_term.py:70-138 estimate_3d_keypoints). Returns
+        (X [len(kp_idx), 3], good [len(kp_idx)] bool)."""
+        n_out = len(kp_idx)
+        nk = min(n_out, N_LC)
+        xy = np.zeros((N_LC, 2), np.float32)
+        xy[:nk] = kp_xy[:nk]
+        targets = np.zeros((2, N_LC, 2), np.float32)
+        tvalid = np.zeros((2, N_LC), bool)
+        for nb, match in nbs[:2]:
+            e = 0 if nb < i else 1  # local pose slot 0 = i-1, 2 = i+1
+            pa, pb, ia, ib = match
+            row_of = {int(a): k for k, a in enumerate(ia)}
+            for k in range(nk):
+                r = row_of.get(int(kp_idx[k]))
+                if r is not None:
+                    targets[e, k] = pb[r]
+                    tvalid[e, k] = True
+        X_out = np.zeros((n_out, 3))
+        good = np.zeros(n_out, bool)
+        if tvalid.any(0).sum() < 8:
             return X_out, good
-        out_ks = np.array([x[0] for x in rows], np.int32)
-        m_rows = np.array([x[1] for x in rows], np.int32)
 
-        intr = np.asarray(self.slam.state.intrinsics[0]) * self.cfg.RES
-        K = np.array([[intr[0], 0, intr[2]], [0, intr[1], intr[3]], [0, 0, 1.0]])
-        Gi = _pose_matrix(poses[i])
-        Gn = _pose_matrix(poses[nb])
-        # projection matrices in camera-i coordinates
-        P1 = K @ np.eye(4)[:3]
-        P2 = K @ (Gn @ np.linalg.inv(Gi))[:3]
-        X = cv2.triangulatePoints(P1, P2, pa[m_rows].T.astype(np.float64),
-                                  pb[m_rows].T.astype(np.float64))
-        X = (X[:3] / np.where(np.abs(X[3]) > 1e-8, X[3], 1e-8)).T  # cam-i frame
-        ok = X[:, 2] > 0.1
-        X_out[out_ks[ok]] = X[ok]
-        good[out_ks[ok]] = True
+        slam = self.slam
+        M = self.cfg.PATCHES_PER_FRAME
+        npn = poses.shape[0]
+        triplet = [max(i - 1, 0), i, min(i + 1, npn - 1)]
+        intr_full = np.asarray(slam.state.intrinsics[i]) * self.cfg.RES
+        # init every keypoint at the keyframe's median patch inverse
+        # depth (ref long_term.py:112 true_disp)
+        d0 = float(np.median(np.asarray(
+            slam.state.patches[i * M:(i + 1) * M, 2, 1, 1])))
+        d0 = d0 if np.isfinite(d0) and d0 > 1e-4 else 1.0
+        X, keep = _triplet_structure_ba(
+            poses[triplet], intr_full, xy, targets, tvalid, d0)
+        X_out[:nk] = X[:nk]
+        good[:nk] = keep[:nk]
         return X_out, good
 
     # ---- loop attempt (ref long_term.py:140-213) ----
@@ -253,12 +340,13 @@ class LongTermLoopClosure:
         slam = self.slam
         if not (self._rm_enq == self._rm_done == pkg["gen"]):
             return  # keyframe indexing shifted since packaging: stale
-        if q >= slam.n or rr >= slam.n or pkg["nbq"] >= slam.n or pkg["nbr"] >= slam.n:
+        nb_all = [nb for nb, _ in pkg["nbs_q"]] + [nb for nb, _ in pkg["nbs_r"]]
+        if any(f >= slam.n for f in [q, rr] + nb_all):
             return
-        iq, ir = pkg["m_qr"][2], pkg["m_qr"][3]
+        pq, pr, iq, ir = pkg["m_qr"]
         poses = slam.poses_np()
-        Xq, okq = self._triangulate(poses, q, pkg["nbq"], pkg["m_q"], iq)
-        Xr, okr = self._triangulate(poses, rr, pkg["nbr"], pkg["m_r"], ir)
+        Xq, okq = self._triangulate(poses, q, pkg["nbs_q"], iq, pq)
+        Xr, okr = self._triangulate(poses, rr, pkg["nbs_r"], ir, pr)
         both = okq & okr
         if both.sum() < MIN_INLIERS:
             return
