@@ -472,6 +472,12 @@ class DPVO:
                 self.state, _es_dict(es), jnp.asarray(target), jnp.asarray(weight),
                 jnp.int32(t0), jnp.int32(nfree),
             )
+            if run_gba:
+                # oracle targets are stored by ba_only, so the global BA
+                # consumes them exactly like network-predicted ones —
+                # lets integration tests drive the (distributed) global
+                # BA route without trained weights
+                self._run_global_ba()
         elif run_gba:
             self.state = self.steps.update_noba(self.params, self.state, _es_dict(es))
             self._run_global_ba()

@@ -23,6 +23,7 @@ import numpy as np
 from dpvo_tpu.geom import projective as pops
 
 LC_CAND_MAX = 1 << 20  # padded candidate-edge capacity
+MIN_SEPARATION = 30    # frames between a proximity pair (ref optim_utils.py:37)
 
 
 @partial(jax.jit, static_argnames=("P",))
@@ -31,7 +32,8 @@ def _lc_flow(poses, patches_ctr, intrinsics, ii, jj, kk, valid, P: int = 1):
     (ref patchgraph.py:80, beta=0.5, patches collapsed to centers)."""
     mag, val = pops.flow_mag(poses, patches_ctr, intrinsics, ii, jj, kk, beta=0.5)
     mag = mag[:, 0, 0]
-    val = val[:, 0, 0] & valid
+    # flow_mag's validity is evaluated at the patch center only -> [E]
+    val = val & valid
     return mag, val
 
 
@@ -47,7 +49,7 @@ def reduce_edges(flow_mag, ii, jj, max_num_edges=1000, nms=1):
         if len(es) >= max_num_edges:
             break
         i, j, mag = ii[idx], jj[idx], flow_mag[idx]
-        if (j - i) < 30 or mag >= 1000 or ignore[i, j]:
+        if (j - i) < MIN_SEPARATION or mag >= 1000 or ignore[i, j]:
             continue
         es.append((i, j))
         for di in range(-nms, nms + 1):
