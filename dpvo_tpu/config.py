@@ -21,7 +21,7 @@ import yaml
 @dataclass(frozen=True)
 class Config:
     # ---- buffers / patch budget (ref dpvo/config.py:5-15) ----
-    BUFFER_SIZE: int = 2048            # max keyframes kept (ref default 4096)
+    BUFFER_SIZE: int = 4096            # max keyframes kept (ref default 4096)
     PATCHES_PER_FRAME: int = 80
     REMOVAL_WINDOW: int = 20
     OPTIMIZATION_WINDOW: int = 12
@@ -77,10 +77,13 @@ class Config:
     E_INAC_MAX: int = 131072           # max inactive (stored) edges
     W_OPT_MAX: int = 16                # padded sliding-window pose count
     M_OPT_MAX: int = 2048              # padded depth-variable count (window BA)
-    # global BA (sparse-assembled, ba/gba_sparse.py — O(edges) memory,
-    # so capacities can cover ~135 keyframes of full edge history and
-    # 1024 free poses; the reference's block_e.cu plays the same role)
-    GBA_POSES_MAX: int = 1024          # padded global-BA pose count
+    # global BA (sparse-assembled, ba/gba_sparse.py — edge-side memory is
+    # O(edges); the reduced camera system is dense like the reference's
+    # block_e.cu, ~3 x 36*(GBA_POSES_MAX)^2 floats of working set:
+    # 2048 poses = ~1.8 GB HBM, 4096 would be ~7 GB — 2048 free poses
+    # covers loops over ~2x the reference's MAX_EDGE_AGE=1000 history;
+    # poses older than n-GBA_POSES_MAX stay fixed (gauge anchors)
+    GBA_POSES_MAX: int = 2048          # padded global-BA pose count
     GBA_DEPTHS_MAX: int = 65536        # padded global-BA depth count
     GBA_EDGES_MAX: int = 172032        # padded global-BA edge count
     GBA_KPAIRS_MAX: int = 3145728      # padded E Q E^T coupling-block count

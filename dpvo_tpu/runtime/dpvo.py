@@ -493,6 +493,10 @@ class DPVO:
         self.state, _ = self.steps.normalize(self.state, jnp.int32(self.n), jnp.int32(self.m))
         E = ges["count"]
         t0 = int(min(ges["ii"][:E].min(), self.n - 1)) if E else 0
+        # the reference frees every pose from min(ii) (ref dpvo.py:710-714);
+        # the static-shape equivalent frees up to GBA_POSES_MAX (default
+        # 2048, ~2x the reference's MAX_EDGE_AGE edge-proposal horizon) —
+        # poses older than that act as gauge anchors
         t0 = max(t0, max(self.n - cfg.GBA_POSES_MAX, 0))
         pos_pad = np.zeros(cfg.GBA_EDGES_MAX, np.int32)
         pos_pad[:ninac] = pos
