@@ -388,7 +388,10 @@ class DPVO:
         box = {}
 
         def fetch():
-            box["v"] = np.asarray(out_small)
+            try:
+                box["v"] = np.asarray(out_small)
+            except BaseException as e:  # surfaced by _drain_one
+                box["err"] = e
 
         th = threading.Thread(target=fetch, daemon=True)
         th.start()
@@ -409,6 +412,8 @@ class DPVO:
         keyframe/retirement decision."""
         th, box, n_disp = self._inflights.popleft()
         th.join()
+        if "err" in box:  # re-raise the real device error, not a KeyError
+            raise box["err"]
         out_small = box["v"]
         if self._pending is not None:
             # back-to-back decisions (flush path): apply the previous
