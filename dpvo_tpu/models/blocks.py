@@ -123,13 +123,24 @@ class SoftAgg(nn.Module):
             e = jnp.exp(g32 - m[None])
             if vf is not None:
                 e = e * vf
-            payload = jnp.concatenate([fx.astype(jnp.float32) * e, e], axis=1)
-            oh = (seg[None, :] == jnp.arange(num_segments)[:, None]).astype(
-                jnp.float32)
+            # Precision follows the module dtype: the f32 training path
+            # keeps the exact 6-pass MXU product; the bf16 runtime path
+            # (whose Dense layers already compute in bf16) uses one bf16
+            # MXU pass with f32 accumulation — group sizes are O(100)
+            # and e <= 1, so the f32-accumulated sums stay within bf16's
+            # ~0.4% input rounding, far below the runtime's own bf16
+            # activation noise.
+            exact = self.dtype == jnp.float32
+            mdt = jnp.float32 if exact else jnp.bfloat16
+            payload = jnp.concatenate(
+                [fx.astype(jnp.float32) * e, e], axis=1).astype(mdt)
+            oh = (seg[None, :] == jnp.arange(num_segments)[:, None]).astype(mdt)
             sums = jax.lax.dot_general(
                 oh, payload, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [S, 2*dim]
+                precision=(jax.lax.Precision.HIGHEST if exact
+                           else jax.lax.Precision.DEFAULT),
+                preferred_element_type=jnp.float32,
+            )  # [S, 2*dim] f32-accumulated
             y = (sums[:, : self.dim]
                  / jnp.maximum(sums[:, self.dim :], 1e-9)).astype(x.dtype)
         else:
