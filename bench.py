@@ -44,11 +44,12 @@ def main():
                 break
             kv.append(a)
         overrides = dict(zip(kv[0::2], kv[1::2]))
-    # keep 4 fused frames in flight: hides the tunnel round trip behind
-    # device compute; the keyframe decision lags 4 frames, which the
-    # trained-weights A/B showed has no trajectory impact on smooth
-    # motion (scripts/kf_lag_ab.py, PARITY.md). Override with
-    # --opts PIPELINE_DEPTH 1 for reference-timing runs.
+    # keep fused frames in flight to hide the tunnel round trip behind
+    # device compute. The trained-weights A/B (scripts/kf_lag_ab.py,
+    # PARITY.md) measured the keyframe-decision lag this introduces:
+    # depth 1 is trajectory-identical to the reference-exact timing;
+    # depth 4 changed keyframe sets and cost ~15% rel-ATE on worst-case
+    # tiny scenes. Override with --opts PIPELINE_DEPTH N.
     overrides.setdefault("PIPELINE_DEPTH", "4")
     cfg = load_config(yaml if os.path.exists(yaml) else None, overrides)
 
