@@ -28,8 +28,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def scan_time(fn, init, k_lo=2, k_hi=12):
-    """Time fn chained k times; return per-iteration seconds."""
+def scan_time(fn, init, k_lo=2, k_hi=12, reps=3):
+    """Time fn chained k times; return per-iteration seconds.
+
+    Every row body MUST thread a data dependency through its carry so
+    XLA cannot hoist loop-invariant work out of the scan (LICM) — see
+    the eps-threading in each body below. Differencing two chain
+    lengths cancels dispatch + tunnel RTT; the min over ``reps`` runs
+    rejects host-side noise (a single-shot diff produced negative rows
+    in round 3)."""
     import jax
     from jax import lax
 
@@ -43,10 +50,13 @@ def scan_time(fn, init, k_lo=2, k_hi=12):
         f = chain(k)
         out = f(init)          # compile + warm
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out = f(init)
-        jax.block_until_ready(out)
-        times[k] = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = f(init)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
     return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
 
 
@@ -151,9 +161,18 @@ def main():
 
     rows.append(("ingest", scan_time(ingest_body, slam.state)))
 
-    rows.append(("edge_fwd (corr+update-op)", scan_time(
-        lambda s: steps._update_noba(params, s, es), slam.state)))
+    # edge_fwd: _update_noba leaves poses/patches untouched, so without
+    # threading XLA hoists the (loop-invariant) reproject+corr out of
+    # the scan — the round-3 4.73 ms row was only the update operator.
+    # Feed an output-dependent epsilon back into poses each iteration.
+    def ef_body(s):
+        s2 = steps._update_noba(params, s, es)
+        eps = (jnp.sum(s2.net[:1, :1]) * 1e-30).astype(s2.poses.dtype)
+        return s2._replace(poses=s2.poses + eps)
 
+    rows.append(("edge_fwd (corr+update-op)", scan_time(ef_body, slam.state)))
+
+    # update+BA rewrites poses via the BA retraction — naturally threaded
     rows.append(("update+BA", scan_time(
         lambda s: steps._update(params, s, es, t0v, nfree), slam.state)))
 
@@ -204,9 +223,26 @@ def main():
                                      jnp.int32(slam.n), jnp.int32(0)),
         slam.state)))
 
+    r = dict(rows)
+    rows.append(("window BA (update+BA - edge_fwd)",
+                 r["update+BA"] - r["edge_fwd (corr+update-op)"]))
+    parts = (r["patchify"] + r["ingest"] + r["update+BA"]
+             + r["maintenance (cull)"])
+    rows.append(("sum(patchify+ingest+update+BA+maint)", parts))
+
     print("\n| component | ms/frame |\n|---|---|")
+    bad = False
     for name, sec in rows:
         print(f"| {name} | {sec * 1e3:.2f} |")
+        if sec <= 0:
+            bad = True
+    if bad:
+        print("WARNING: non-positive row — measurement is untrustworthy "
+              "(LICM hoist or host noise); re-run / inspect", file=sys.stderr)
+    if parts > 1.35 * r["frame_step"] or parts < 0.65 * r["frame_step"]:
+        print(f"WARNING: parts sum {parts*1e3:.2f} ms vs frame_step "
+              f"{r['frame_step']*1e3:.2f} ms — rows are not sub-additive",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
