@@ -27,13 +27,13 @@ structure_only path; unused depth vars have C = u = 0 so dZ = 0.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from dpvo_tpu.geom import projective as pops
-from dpvo_tpu.lie import se3
+from dpvo_tpu.lie import se3, so3
 
 
 class BAProblem(NamedTuple):
@@ -50,6 +50,8 @@ class BAProblem(NamedTuple):
     kd: jax.Array           # [E] int32 dense depth-var index in [0, Md)
     t0: jax.Array           # scalar int32: first free pose
     nfree: jax.Array        # scalar int32: number of free poses (<= W)
+    kd_order: Any = None    # optional [E] int32 stable argsort of kd
+    #                         (enables the sorted segment-sum assembly)
 
 
 def _center_residuals(prob: BAProblem, bounds, res_clip: float):
@@ -57,20 +59,80 @@ def _center_residuals(prob: BAProblem, bounds, res_clip: float):
 
     Mirrors the residual/gating block of the fused CUDA kernel
     (ba_cuda.cu:276-333): gate on ||r|| < res_clip, Z > 0.2, and the
-    +/-64px border around the image bounds.
+    +/-64px border around the image bounds. The Jacobians are the
+    closed-form expansion of Jp @ Ja / adjoint transport from
+    geom/projective.transform, specialized to the patch CENTER only —
+    all scalar elementwise ops over [E] that XLA fuses into one pass
+    (the generic path reprojects all P^2 pixels and routes tiny
+    [E,2,4]x[E,4,6] batched matmuls through the MXU: ~1.9 ms at
+    E=49152 vs ~0.3 ms for this form).
     """
-    patches = prob.patch_ctr[:, :, None, None]  # [Md,3,1,1]
-    coords, val, (Ji, Jj, Jz) = pops.transform(
-        prob.poses, patches, prob.intrinsics, prob.ii, prob.jj, prob.kd, jacobian=True
-    )
-    xy = coords[:, 0, 0, :]  # [E,2]
-    r = prob.target - xy
+    ctr = prob.patch_ctr[prob.kd]                      # [E,3]
+    intr_i = prob.intrinsics[prob.ii]                  # [E,4]
+    intr_j = prob.intrinsics[prob.jj]
+    gi = prob.poses[prob.ii]
+    gj = prob.poses[prob.jj]
+    Gij = se3.mul(gj, se3.inv(gi))                     # [E,7]
+    q = se3.q_of(Gij)
+    t = se3.t_of(Gij)
 
+    # iproj at the center pixel (ref projective_ops.py:19-29)
+    d0 = ctr[:, 2]
+    xn = (ctr[:, 0] - intr_i[:, 2]) / intr_i[:, 0]
+    yn = (ctr[:, 1] - intr_i[:, 3]) / intr_i[:, 1]
+    X0 = jnp.stack([xn, yn, jnp.ones_like(d0)], axis=-1)
+
+    # act4: X1 = R X0 + d0 t (homogeneous w = inverse depth)
+    X1 = so3.quat_rotate(q, X0) + d0[:, None] * t
+    X, Y, Z = X1[:, 0], X1[:, 1], X1[:, 2]
+    H = d0
+
+    fx, fy, cx, cy = (intr_j[:, k] for k in range(4))
+    dz = 1.0 / jnp.maximum(Z, 0.1)                     # proj clamp (ref :51)
+    x1 = fx * X * dz + cx
+    y1 = fy * Y * dz + cy
+    val = Z > pops.MIN_DEPTH_Z
+
+    r = prob.target - jnp.stack([x1, y1], axis=-1)
     in_bounds = (
-        (xy[:, 0] > bounds[0]) & (xy[:, 1] > bounds[1]) & (xy[:, 0] < bounds[2]) & (xy[:, 1] < bounds[3])
+        (x1 > bounds[0]) & (y1 > bounds[1]) & (x1 < bounds[2]) & (y1 < bounds[3])
     )
-    ok = (jnp.linalg.norm(r, axis=-1) < res_clip) & (val > 0.5) & in_bounds & prob.valid
+    ok = (jnp.linalg.norm(r, axis=-1) < res_clip) & val & in_bounds & prob.valid
     w = prob.weight * ok[:, None].astype(prob.weight.dtype)  # [E,2]
+
+    # --- closed-form Jacobians (Jp @ Ja expanded; ref :71-108) ---
+    d = jnp.where(jnp.abs(Z) > pops.MIN_DEPTH_Z, 1.0, 0.0) / jnp.where(
+        jnp.abs(Z) > pops.MIN_DEPTH_Z, Z, 1.0
+    )
+    a0 = fx * d
+    a2 = -fx * X * d * d
+    b1 = fy * d
+    b2 = -fy * Y * d * d
+    o = jnp.zeros_like(H)
+    Jj0 = jnp.stack([a0 * H, o, a2 * H, a2 * Y, a0 * Z - a2 * X, -a0 * Y], -1)
+    Jj1 = jnp.stack([o, b1 * H, b2 * H, b2 * Y - b1 * Z, -b2 * X, b1 * X], -1)
+    Jj = jnp.stack([Jj0, Jj1], axis=1)                 # [E,2,6]
+
+    # Ji = -AdjT(Gij) Jj: rows (-R^T a1, -R^T (a1 x t + a2))
+    qi = so3.quat_inv(q)
+
+    def adjt_row(row):
+        a1, a2r = row[..., :3], row[..., 3:6]
+        return jnp.concatenate(
+            [
+                so3.quat_rotate(qi, a1),
+                so3.quat_rotate(qi, jnp.cross(a1, t) + a2r),
+            ],
+            axis=-1,
+        )
+
+    Ji = -jnp.stack([adjt_row(Jj0), adjt_row(Jj1)], axis=1)
+
+    # Jz = Jp @ (t, 1): the homogeneous column of G_ij (ref :106)
+    Jz = jnp.stack(
+        [a0 * t[:, 0] + a2 * t[:, 2], b1 * t[:, 1] + b2 * t[:, 2]], axis=-1
+    )[..., None]                                       # [E,2,1]
+
     return r, w, Ji, Jj, Jz
 
 
@@ -102,45 +164,66 @@ def assemble_normal_eqs(
     free_i = (pi >= 0) & (pi < prob.nfree)
     free_j = (pj >= 0) & (pj < prob.nfree)
 
-    # One-hot pose selectors turn all pose-indexed scatter-adds into
-    # MXU matmuls (TPU scatters cost ~1-2ms per pass; the matmuls are
-    # <0.1ms). Fixed/out-of-window edges get all-zero Jacobian rows —
-    # identical to the old W-sentinel scatter masking.
-    ar = jnp.arange(W, dtype=pi.dtype)
-    oh_i = ((pi[:, None] == ar) & free_i[:, None]).astype(jnp.float32)  # [E,W]
-    oh_j = ((pj[:, None] == ar) & free_j[:, None]).astype(jnp.float32)
+    # Layout discipline: everything below is 2-D [E or 2E, 6W] with the
+    # window axis in LANES. The previous [E, 2, W, 6] broadcast +
+    # reshape chain forced tiny-minor-dim tilings (2 sublanes / 6
+    # lanes) and cost ~4 ms/iter in relayout copies at E=49152; these
+    # masked lane-placements fuse into ~2 elementwise passes.
+    lane = jnp.arange(W * 6, dtype=pi.dtype)
+    blk = lane // 6
+    sub = lane % 6
+    ohi = ((blk[None, :] == pi[:, None]) & free_i[:, None]).astype(jnp.float32)
+    ohj = ((blk[None, :] == pj[:, None]) & free_j[:, None]).astype(jnp.float32)
 
-    # Stacked full-window Jacobian: Jall[e, r, a*6+i] places Ji/Jj into
-    # the window slots of poses ii/jj. Then the whole pose system is a
-    # Gram matrix: B6 = (sqrt(w) Jall)^T (sqrt(w) Jall), v6 = Jall^T (w r).
-    Jall = (oh_i[:, None, :, None] * Ji[:, :, None, :]
-            + oh_j[:, None, :, None] * Jj[:, :, None, :]).reshape(E, 2, W * 6)
+    def place_row(s):
+        """Row s of the full-window Jacobian [E, 6W]: Ji/Jj columns
+        placed at the window slots of poses ii/jj."""
+        out = jnp.zeros((E, W * 6), jnp.float32)
+        for k in range(6):
+            m = (sub[None, :] == k).astype(jnp.float32)
+            out = out + m * (ohi * Ji[:, s, k:k + 1] + ohj * Jj[:, s, k:k + 1])
+        return out
+
     sw = jnp.sqrt(w)
-    Jw = (Jall * sw[:, :, None]).reshape(2 * E, W * 6)
+    Jw0 = place_row(0) * sw[:, 0:1]
+    Jw1 = place_row(1) * sw[:, 1:2]
+    Jw = jnp.concatenate([Jw0, Jw1], axis=0)  # [2E, 6W] (row order free)
     B6 = Jw.T @ Jw  # [6W, 6W] (ref ba.py:190-229, one MXU pass)
-    v6 = Jall.reshape(2 * E, W * 6).T @ (w * r).reshape(2 * E)
+    rw = jnp.concatenate([sw[:, 0] * r[:, 0], sw[:, 1] * r[:, 1]])
+    v6 = Jw.T @ rw
 
     # --- depth-indexed reductions (ref ba.py:234-248): pose-depth
     # coupling E, diagonal depth Hessian C, and gradient u share the kd
-    # segmentation, so they ride ONE one-hot matmul on the MXU instead
-    # of three scatter passes (TPU scatters cost ~1-2ms of latency
-    # each; HIGHEST precision keeps f32-grade accumulation) ---
-    UE = jnp.einsum("erk,er->ek", Jall, w * Jz[:, :, 0])
+    # segmentation, so they ride ONE segment reduction instead of three
+    # scatter passes (TPU scatters cost ~1-2ms of latency each) ---
+    Jz0, Jz1 = Jz[:, 0, 0], Jz[:, 1, 0]
+    UE = Jw0 * (sw[:, 0] * Jz0)[:, None] + Jw1 * (sw[:, 1] * Jz1)[:, None]
     payload = jnp.concatenate(
         [
             UE,
-            jnp.sum(w * Jz[:, :, 0] ** 2, axis=-1, keepdims=True),
-            jnp.sum(w * Jz[:, :, 0] * r, axis=-1, keepdims=True),
+            (w[:, 0] * Jz0 ** 2 + w[:, 1] * Jz1 ** 2)[:, None],
+            (w[:, 0] * Jz0 * r[:, 0] + w[:, 1] * Jz1 * r[:, 1])[:, None],
         ],
         axis=1,
     )  # [E, 6W+2]
-    oh_d = (prob.kd[:, None] == jnp.arange(Md, dtype=prob.kd.dtype)[None, :]).astype(
-        jnp.float32
-    )
-    sums = jax.lax.dot_general(
-        oh_d, payload, (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [Md, 6W+2]
+    if (prob.kd_order is not None and jax.default_backend() == "tpu"
+            and payload.shape[0] % 256 == 0):
+        # host-shipped stable sort by kd: the blocked Pallas segment
+        # kernel needs sorted dense ids; replaces the [E, Md] one-hot
+        # matmul (0.5 GB materialized + E*Md*K MACs at HIGHEST)
+        from dpvo_tpu.ba.segsum_pallas import segment_sum_sorted
+
+        sums = segment_sum_sorted(
+            payload[prob.kd_order], prob.kd[prob.kd_order], Md=Md
+        )
+    else:
+        oh_d = (prob.kd[:, None] == jnp.arange(Md, dtype=prob.kd.dtype)[None, :]).astype(
+            jnp.float32
+        )
+        sums = jax.lax.dot_general(
+            oh_d, payload, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [Md, 6W+2]
     Em = sums[:, : payload.shape[1] - 2]
     C, u = sums[:, -2], sums[:, -1]
 
@@ -253,13 +336,14 @@ def ba(
     lm: float = 1e-4,
     res_clip: float = 128.0,
     clamp_mode: str = "runtime",
+    kd_order=None,
 ):
     """Run `iterations` damped Gauss-Newton steps; returns (poses', depths')."""
     depths = patch_ctr[:, 2]
     for _ in range(iterations):
         prob = BAProblem(
             poses, jnp.concatenate([patch_ctr[:, :2], depths[:, None]], -1), intrinsics,
-            target, weight, valid, ii, jj, kd, t0, nfree,
+            target, weight, valid, ii, jj, kd, t0, nfree, kd_order,
         )
         dX, dZ = ba_delta(prob, bounds, lmbda, W=W, Md=Md, ep=ep, lm=lm, res_clip=res_clip)
         poses = apply_pose_retr(poses, dX, t0, nfree, W)

@@ -66,6 +66,7 @@ def transform(
     jacobian: bool = False,
     valid: bool = False,
     tonly: bool = False,
+    depth=None,
 ):
     """Reproject patch kk from frame ii into frame jj (ref :53-113).
 
@@ -81,7 +82,13 @@ def transform(
     """
     is_sim3 = poses.shape[-1] == 8
     grp = sim3 if is_sim3 else se3
-    X0 = iproj(patches[kk], intrinsics[ii])  # [E,P,P,4]
+    pk = patches[kk]
+    if depth is not None:
+        # runtime stores live inverse depth separately (state.dvec, one
+        # scalar per patch) — override the stale depth plane. Static
+        # index update on an edge-sized tensor: fuses, no scatter.
+        pk = pk.at[:, 2].set(depth[kk][:, None, None])
+    X0 = iproj(pk, intrinsics[ii])  # [E,P,P,4]
 
     Gij = grp.mul(poses[jj], grp.inv(poses[ii]))  # [E,7 or 8]
     if tonly:
@@ -151,21 +158,26 @@ def transform(
     return x1, val, (Ji, Jj, Jz)
 
 
-def point_cloud(poses, patches, intrinsics, ix):
+def point_cloud(poses, patches, intrinsics, ix, depth=None):
     """Lift patches to world-frame homogeneous points (ref :115-117)."""
+    if depth is not None:
+        patches = patches.at[:, 2].set(depth[:, None, None])
     X = iproj(patches, intrinsics[ix])
     return se3.act4(se3.inv(poses[ix])[:, None, None, :], X)
 
 
-def flow_mag(poses, patches, intrinsics, ii, jj, kk, beta: float = 0.3):
+def flow_mag(poses, patches, intrinsics, ii, jj, kk, beta: float = 0.3,
+             depth=None):
     """Blended full/translation-only flow magnitude (ref :120-130).
 
     Used by keyframing (dpvo/dpvo.py:586-599) and proximity-LC edge
     filtering (dpvo/patchgraph.py:80-83). Returns ([E,P,P], [E] bool).
     """
-    coords0 = transform(poses, patches, intrinsics, ii, ii, kk)
-    coords1, val = transform(poses, patches, intrinsics, ii, jj, kk, valid=True)
-    coords2 = transform(poses, patches, intrinsics, ii, jj, kk, tonly=True)
+    coords0 = transform(poses, patches, intrinsics, ii, ii, kk, depth=depth)
+    coords1, val = transform(poses, patches, intrinsics, ii, jj, kk, valid=True,
+                             depth=depth)
+    coords2 = transform(poses, patches, intrinsics, ii, jj, kk, tonly=True,
+                        depth=depth)
 
     flow1 = jnp.linalg.norm(coords1 - coords0, axis=-1)
     flow2 = jnp.linalg.norm(coords2 - coords0, axis=-1)

@@ -188,6 +188,9 @@ def _corr_level(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
         interpret=interpret,
     )(jjk[None], cy, cx, jnp.sum(vs).astype(jnp.int32)[None, None], f1, fmap)
 
+    if os.environ.get("DPVO_CORR_NOEPI"):  # perf diagnosis: kernel cost only
+        return jnp.pad(s.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, 0)))[..., :D * D]
+
     # Window selection (alignment remainder) + 2x2 bilinear reduction,
     # vectorized over all edges in XLA. The kernel emitted the WIDE
     # per-pixel grid s[p, u*2D + x2]; channel (u, v) samples x2 = d+v
@@ -332,6 +335,9 @@ def _corr_level_sw(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
     )(jjk[None], (syc + 16)[None], (sxc + 16)[None],
       jnp.sum(vs).astype(jnp.int32)[None, None], f1, fmap)
 
+    if os.environ.get("DPVO_CORR_NOEPI"):  # perf diagnosis: kernel cost only
+        return s[..., :D * D]
+
     # epilogue: per-pixel (row, col) offsets within the superwindow,
     # clamped; one-hot blends of static slices (XLA fuses the stacks)
     dy = jnp.clip(sy - syc[:, None], 0, RS - D)                  # [E,P2]
@@ -355,6 +361,219 @@ def _corr_level_sw(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
          + w10 * sw[..., 1:, : D - 1] + w11 * sw[..., 1:, 1:])
     o = jnp.pad(o, ((0, 0), (0, 0), (0, 1), (0, 1)))
     return o.reshape(E, P2, W).astype(jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------
+# v3 ("pallas_dma"): ONE double-buffered DMA + ONE small MXU dot per
+# edge. Per edge a [RS3, CS3] superwindow (8-aligned x corner) is DMA'd
+# from the per-frame VMEM cache into a ping-pong window buffer while the
+# MXU contracts the PREVIOUS group's windows, so copy time hides behind
+# compute instead of serializing with it (the v1 kernel's 9 VPU loads
+# per edge were the bottleneck: 19.9 ms kernel time at E=49152).
+# Per-pixel window selection (row/col offsets within the superwindow,
+# including the 8-alignment remainder) AND the 2x2 bilinear reduction
+# happen in ONE fused XLA epilogue pass: out = sum_a sum_b
+# cR[a] cC[b] s[dy+u+a, dxw+v+b] where cR/cC merge the one-hot
+# selection with the bilinear weights — no 8-way shifted-copy stacks
+# (the v1 epilogue materialized GBs and cost ~14 ms).
+# Exactness: per-pixel offsets are clamped to a +-3 px spread around
+# the patch-center window. A 3x3 patch with one shared depth reprojects
+# to a ~1 px pixel spacing, so real workloads stay well inside; the
+# adversarial-coordinate case (pixels >3 px from center) clamps — the
+# "pallas" v1 kernel remains available for exact semantics.
+# ---------------------------------------------------------------------
+
+RS3 = 16  # superwindow rows: 9 (window+bilinear) + 7 offset margin
+CS3 = 24  # superwindow cols: 9 + 7 margin + 8 alignment remainder
+G3 = 8    # edges per pipeline group
+
+
+def _make_kernel_v3(H2: int, W2: int, C: int, P2: int):
+    SW = RS3 * CS3
+
+    def kernel(jj_s, sy_s, sx_s, nv_s, f1_r, fmap_r, out_r, cache_r, win_r,
+               loaded_r, csem, wsem):
+        # fmap_r is PRE-PADDED in HBM ([mem, H2+32, W2+40, C], zero
+        # borders), so cache coordinates == padded-frame coordinates and
+        # the cache path and the HBM-direct path sample identically.
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            loaded_r[0] = -1
+
+        out_r[:] = jnp.zeros_like(out_r)
+        nv = jnp.clip(nv_s[0, 0] - pl.program_id(0) * EB, 0, EB)
+        ng = (nv + G3 - 1) // G3
+
+        def issue(g):
+            """Start the G3 window DMAs of group g. Caller guarantees no
+            window copies are outstanding, so a frame reload (first edge
+            of the group on a new jj) is race-free; a mid-group frame
+            boundary DMAs those windows straight from HBM instead (rare:
+            ~22 boundary groups per level)."""
+            e0 = g * G3
+            base = (g % 2) * G3
+            jg = jj_s[0, e0]
+
+            @pl.when(jg != loaded_r[0])
+            def _():
+                loaded_r[0] = jg
+                cp = pltpu.make_async_copy(fmap_r.at[jg], cache_r, csem)
+                cp.start()
+                cp.wait()
+
+            for q in range(G3):
+                e = e0 + q
+                j = jj_s[0, e]
+                sy = sy_s[0, e]
+                sx = pl.multiple_of(sx_s[0, e], 8)
+
+                @pl.when(j == loaded_r[0])
+                def _():
+                    pltpu.make_async_copy(
+                        cache_r.at[pl.ds(sy, RS3), pl.ds(sx, CS3), :],
+                        win_r.at[base + q],
+                        wsem.at[base + q],
+                    ).start()
+
+                @pl.when(j != loaded_r[0])
+                def _():
+                    # mid-group frame boundary: same window, straight
+                    # from the padded HBM map (linear layout, any offset)
+                    pltpu.make_async_copy(
+                        fmap_r.at[j, pl.ds(sy, RS3), pl.ds(sx, CS3), :],
+                        win_r.at[base + q],
+                        wsem.at[base + q],
+                    ).start()
+
+        @pl.when(ng > 0)
+        def _():
+            issue(0)
+
+        def body(g, _):
+            base = (g % 2) * G3
+            e0 = g * G3
+            for q in range(G3):  # consume group g's copies
+                pltpu.make_async_copy(
+                    win_r.at[base + q], win_r.at[base + q], wsem.at[base + q]
+                ).wait()
+
+            @pl.when(g + 1 < ng)
+            def _():
+                issue(g + 1)
+
+            for q in range(G3):  # MXU while group g+1's DMAs fly
+                res = jax.lax.dot_general(
+                    f1_r[e0 + q], win_r[base + q].reshape(SW, C),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [P2, SW]
+                out_r[e0 + q] = res.astype(out_r.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, ng, body, 0)
+
+    return kernel
+
+
+def _corr_level_nokern(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
+    """Perf diagnosis: the sort/gather/pad scaffolding with a free level
+    body — measures _corr_features_common overhead S."""
+    E, P2, C = f1.shape
+    D = 2 * radius + 2
+    return (f1[:, :, :1] * cs[..., :1] * vs[:, None, None]
+            ).astype(jnp.bfloat16) * jnp.zeros((1, 1, D * D), jnp.bfloat16)
+
+
+def _corr_level_v3(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
+    """v3 level: fmap [mem,H2,W2,C]; f1 [E,P2,C] bf16 sorted by jj;
+    cs [E,P2,2] sorted coords at this level's scale; jjk/vs sorted."""
+    E, P2, C = f1.shape
+    mem, H2, W2, _ = fmap.shape
+    D = 2 * radius + 2
+    c = P2 // 2
+
+    W2a = -(-W2 // 8) * 8
+    # zero-pad the maps in HBM so cache coords == padded-frame coords
+    # (16 rows top, 16 cols left; the slack on the far side keeps every
+    # clamped superwindow copy in bounds). Out-of-image samples then
+    # read true zeros on both the cache and the HBM-direct path.
+    fmap = jnp.pad(fmap, ((0, 0), (16, 16), (16, W2a - W2 + 24), (0, 0)))
+
+    x = cs[..., 0]
+    y = cs[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dxf = (x - x0).astype(jnp.float32)
+    dyf = (y - y0).astype(jnp.float32)
+    sy = y0.astype(jnp.int32) - radius   # [E,P2] per-pixel window corner
+    sx = x0.astype(jnp.int32) - radius
+
+    # superwindow corner: center pixel's window corner minus a 3 px
+    # margin, clamped into the padded cache; x aligned down to 8
+    syc = jnp.clip(sy[:, c] - 3, -16, H2)
+    sxc = (jnp.clip(sx[:, c] - 3, -16, W2a) + 16) // 8 * 8 - 16
+
+    # per-pixel offsets within the superwindow (clamped: see note above)
+    dy = jnp.clip(sy - syc[:, None], 0, RS3 - 9)    # [E,P2] in [0,7]
+    dxw = jnp.clip(sx - sxc[:, None], 0, CS3 - 9)   # [E,P2] in [0,15]
+
+    vp = (vs[:, None] & (sy >= -D) & (sy <= H2) & (sx >= -D) & (sx <= W2))
+    vf = vp.astype(jnp.float32)
+
+    grid = (E // EB,)
+    smem1 = lambda: pl.BlockSpec((1, EB), lambda i: (0, i), memory_space=pltpu.SMEM)
+    s = pl.pallas_call(
+        _make_kernel_v3(H2, W2a, C, P2),
+        grid=grid,
+        in_specs=[
+            smem1(),  # jj
+            smem1(),  # superwindow row corner (cache coords)
+            smem1(),  # superwindow col corner (cache coords, 8-aligned)
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((EB, P2, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # fmap (HBM)
+        ],
+        out_specs=pl.BlockSpec((EB, P2, RS3 * CS3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, P2, RS3 * CS3), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((H2 + 32, W2a + 40, C), fmap.dtype),  # padded frame
+            pltpu.VMEM((2 * G3, RS3, CS3, C), fmap.dtype),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2 * G3,)),
+        ],
+        interpret=interpret,
+    )(jjk[None], (syc + 16)[None], (sxc + 16)[None],
+      jnp.sum(vs).astype(jnp.int32)[None, None], f1, fmap)
+
+    if os.environ.get("DPVO_CORR_NOEPI"):  # perf diagnosis: kernel cost only
+        return s[..., :D * D]
+
+    # Fused epilogue: row/col selection + 2x2 bilinear as a two-stage
+    # tap stencil in bf16. cR merges the one-hot over dy with the
+    # y-bilinear, cC the one-hot over dxw (incl. the 8-alignment
+    # remainder) with the x-bilinear. All-bf16 with static slices — the
+    # measured-fastest XLA formulation (gathers are ~40x slower; f32
+    # doubles traffic; lane-flattened layouts force per-tap rotates).
+    s4 = s.reshape(E, P2, RS3, CS3)
+    ar = jnp.arange(10, dtype=jnp.int32)                          # a in [0,9]
+    cR = (((ar == dy[..., None]) * (1.0 - dyf[..., None])
+           + (ar == dy[..., None] + 1) * dyf[..., None])).astype(jnp.bfloat16)
+    ab = jnp.arange(17, dtype=jnp.int32)                          # b in [0,16]
+    cC = (((ab == dxw[..., None]) * (1.0 - dxf[..., None])
+           + (ab == dxw[..., None] + 1) * dxf[..., None])
+          * vf[..., None]).astype(jnp.bfloat16)                   # [E,P2,17]
+
+    Dm1 = D - 1  # 7 valid rows/cols
+    tmp = jnp.zeros((E, P2, Dm1, CS3), jnp.bfloat16)
+    for a in range(9):  # dy+a <= 7+1+6 = 14 < RS3 for u < 7
+        tmp = tmp + cR[..., a, None, None] * s4[:, :, a:a + Dm1, :]
+    out = jnp.zeros((E, P2, Dm1, Dm1), jnp.bfloat16)
+    for b in range(17):
+        out = out + cC[..., b, None, None] * tmp[..., b:b + Dm1]
+    out = jnp.pad(out, ((0, 0), (0, 0), (0, 1), (0, 1)))
+    return out.reshape(E, P2, D * D)
 
 
 @partial(jax.jit, static_argnames=("radius", "interpret", "level_fn"))
@@ -414,3 +633,13 @@ def corr_features_pallas_sw(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
     return _corr_features_common(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
                                  radius=radius, interpret=interpret,
                                  level_fn=_corr_level_sw)
+
+
+def corr_features_pallas_dma(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
+                             radius: int = 3, interpret: bool = False):
+    """v3 kernel: double-buffered per-edge superwindow DMA + MXU dot,
+    fused selection+bilinear epilogue. Per-pixel windows clamped within
+    +-3 px of the patch-center window (exact for real patch geometry)."""
+    return _corr_features_common(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
+                                 radius=radius, interpret=interpret,
+                                 level_fn=_corr_level_v3)

@@ -28,7 +28,8 @@ def _es_dict(es: EdgeSet) -> Dict:
     return dict(
         ii=es.ii, jj=es.jj, kk=es.kk, valid=es.valid, ii1=es.ii1, jj1=es.jj1,
         kk_seg=es.kk_seg, ij_seg=es.ij_seg, ix=es.ix, jx=es.jx,
-        mask_ix=es.mask_ix, mask_jx=es.mask_jx, kd=es.kd, dense2patch=es.dense2patch,
+        mask_ix=es.mask_ix, mask_jx=es.mask_jx, kd=es.kd, kd_order=es.kd_order,
+        dense2patch=es.dense2patch,
     )
 
 
@@ -370,7 +371,9 @@ class DPVO:
             padE(hn, np.uint8), valid, d2p, padE(kk_seg, np.uint16),
             padE(ij_seg, np.uint16), meta,
             ops[0][:E].astype(np.uint16), ops[1][:E].astype(np.uint16),
-            ops[2][:E].astype(np.uint16), E_cap=E,
+            ops[2][:E].astype(np.uint16),
+            np.argsort(padE(kk_seg, np.int32), kind="stable").astype(np.uint16),
+            E_cap=E,
         )
         _t0 = _time.perf_counter()
         self.phase_times["pack"] += _t0 - _tp

@@ -19,7 +19,13 @@ from dpvo_tpu.config import Config
 class VOState(NamedTuple):
     # --- per-frame state (ref patchgraph.py:26-35) ---
     poses: jnp.ndarray       # [N, 7] world-to-camera (t, q)
-    patches: jnp.ndarray     # [N*M, 3, P, P] (x, y, inverse depth) at 1/4 res
+    patches: jnp.ndarray     # [N*M, 3, P, P] (x, y) planes at 1/4 res; the
+    #                          depth plane holds only the INGEST-TIME init —
+    #                          live inverse depth is ``dvec``
+    dvec: jnp.ndarray        # [N*M] live inverse depth (one per patch). BA
+    #                          updates scatter here (1-D, cheap) instead of
+    #                          into the 4-D patches buffer, whose tiny minor
+    #                          dims made every scatter a ~15 ms relayout
     intrinsics: jnp.ndarray  # [N, 4] (fx, fy, cx, cy) at 1/4 res
     colors: jnp.ndarray      # [N, M, 3] uint8 (viewer/export)
     points: jnp.ndarray      # [N*M, 3] world points (viewer/export)
@@ -51,6 +57,7 @@ def make_state(cfg: Config, ht: int, wd: int) -> VOState:
     return VOState(
         poses=poses,
         patches=jnp.zeros((N * M, 3, P, P), jnp.float32),
+        dvec=jnp.zeros((N * M,), jnp.float32),
         intrinsics=jnp.zeros((N, 4), jnp.float32),
         colors=jnp.zeros((N, M, 3), jnp.uint8),
         points=jnp.zeros((N * M, 3), jnp.float32),

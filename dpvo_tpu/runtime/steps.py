@@ -23,7 +23,11 @@ from dpvo_tpu.lie import se3
 from dpvo_tpu.models import Patchifier, Update
 from dpvo_tpu.ops import avg_pool2d_nhwc
 from dpvo_tpu.ops.corr import corr_features_xla
-from dpvo_tpu.ops.corr_pallas import corr_features_pallas, corr_features_pallas_sw
+from dpvo_tpu.ops.corr_pallas import (
+    corr_features_pallas,
+    corr_features_pallas_dma,
+    corr_features_pallas_sw,
+)
 from dpvo_tpu.runtime.state import VOState
 
 
@@ -51,7 +55,11 @@ class StepFunctions:
         self.pmem = cfg.MAX_EDGE_AGE if cfg.LOOP_CLOSURE else cfg.PMEM
         impl = cfg.CORR_IMPL
         if impl == "auto":
-            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            # pallas_dma: DMA-pipelined superwindow kernel — exact for
+            # real patch geometry (per-pixel windows within +-3 px of
+            # the patch center); CORR_IMPL=pallas forces the
+            # per-pixel-exact kernel (adversarial coords), ~1.5x slower
+            impl = "pallas_dma" if jax.default_backend() == "tpu" else "xla"
         self.corr_impl = impl
 
         self.patchify = jax.jit(self._patchify)
@@ -136,6 +144,7 @@ class StepFunctions:
             ("perm", 2 * E, np.uint16),
             ("src", 2 * E, np.uint16),
             ("dst", 2 * E, np.uint16),
+            ("kd_order", 2 * E, np.uint16),
         ]
         layout = {}
         off = 0
@@ -146,7 +155,7 @@ class StepFunctions:
         return layout, off
 
     def pack_frame(self, buf, kk, jj, ix, jx, mask_ix, mask_jx, valid,
-                   d2p, kk_seg, ij_seg, meta, perm, src, dst,
+                   d2p, kk_seg, ij_seg, meta, perm, src, dst, kd_order=None,
                    E_cap: int = None):
         """Fill the preallocated uint8 frame buffer (host side). The
         image ships separately so its (much larger) upload can start the
@@ -179,6 +188,8 @@ class StepFunctions:
         put("perm", perm)
         put("src", src)
         put("dst", dst)
+        if kd_order is not None:
+            put("kd_order", kd_order)
         return buf
 
     def unpack_frame(self, buf, E_cap: int = None):
@@ -207,6 +218,7 @@ class StepFunctions:
         perm = get("perm", jnp.uint16, 2).astype(jnp.int32)
         src = get("src", jnp.uint16, 2).astype(jnp.int32)
         dst = get("dst", jnp.uint16, 2).astype(jnp.int32)
+        kd_order = get("kd_order", jnp.uint16, 2).astype(jnp.int32)
 
         ii = kk // M
         es = dict(
@@ -224,6 +236,7 @@ class StepFunctions:
             valid=(flags & 4) > 0,
         )
         es["kd"] = es["kk_seg"]
+        es["kd_order"] = kd_order
         es["dense2patch"] = d2p
         return es, meta, (perm, src, dst)
 
@@ -264,16 +277,18 @@ class StepFunctions:
         pred = jnp.where(do_motion, pred, P1)
         poses = state.poses.at[n].set(pred)
 
-        # depth init: random, or median of last-3-frame depths (ref :960-964)
-        d_rand = jax.random.uniform(key, patches[:, 2].shape)
+        # depth init: random, or median of last-3-frame depths (ref
+        # :960-964; one scalar per patch, like the reference). Live
+        # depth is dvec; the patches depth plane keeps the init value
+        # only for debugging.
+        d_rand = jax.random.uniform(key, (M,))
         lo = jnp.maximum(n - 3, 0) * M
-        window = jax.lax.dynamic_slice(
-            state.patches[:, 2, P // 2, P // 2], (lo,), (3 * M,)
-        )
+        window = jax.lax.dynamic_slice(state.dvec, (lo,), (3 * M,))
         d_med = jnp.median(window)
         depth = jnp.where(is_initialized, d_med, d_rand)
-        patches = patches.at[:, 2].set(jnp.broadcast_to(depth, patches[:, 2].shape))
+        patches = patches.at[:, 2].set(depth[:, None, None])
         patches_all = jax.lax.dynamic_update_slice(state.patches, patches, (n * M, 0, 0, 0))
+        dvec = jax.lax.dynamic_update_slice(state.dvec, depth, (n * M,))
 
         # circular feature memories (ref :968-971)
         slot_p = (n % self.pmem) * M
@@ -283,8 +298,8 @@ class StepFunctions:
         fmap2 = state.fmap2.at[n % cfg.MEM].set(avg_pool2d_nhwc(fmap, 4))
 
         return state._replace(
-            poses=poses, patches=patches_all, intrinsics=intr, colors=colors,
-            imap=imap, gmap=gmap, fmap1=fmap1, fmap2=fmap2,
+            poses=poses, patches=patches_all, dvec=dvec, intrinsics=intr,
+            colors=colors, imap=imap, gmap=gmap, fmap1=fmap1, fmap2=fmap2,
         )
 
     # ---------------- deferred keyframe / retirement maintenance ----
@@ -374,6 +389,7 @@ class StepFunctions:
             return state._replace(
                 poses=shift_contig(state.poses, k, 1),
                 patches=shift_contig(state.patches, k, M),
+                dvec=shift_contig(state.dvec, k, M),
                 intrinsics=shift_contig(state.intrinsics, k, 1),
                 colors=shift_contig(state.colors, k, 1),
                 imap=circ(state.imap, self.pmem, M),
@@ -463,11 +479,13 @@ class StepFunctions:
         if net.shape[0] != es["ii"].shape[0]:
             net = net[: es["ii"].shape[0]]  # capacity-bucketed prefix
         coords = pops.transform(
-            state.poses, state.patches, state.intrinsics, es["ii"], es["jj"], es["kk"]
+            state.poses, state.patches, state.intrinsics, es["ii"], es["jj"],
+            es["kk"], depth=state.dvec,
         )  # [E,P,P,2]
         corr_fn = {
             "pallas": corr_features_pallas,
             "pallas_sw": corr_features_pallas_sw,
+            "pallas_dma": corr_features_pallas_dma,
         }.get(self.corr_impl, corr_features_xla)
         E = coords.shape[0]
         corr = corr_fn(
@@ -504,7 +522,12 @@ class StepFunctions:
         )
 
         # sliding-window BA over active edges
-        ctr = state.patches[es["dense2patch"], :, cfg.P // 2, cfg.P // 2]  # [Md,3] (clip-gather)
+        c = cfg.P // 2
+        ctr = jnp.concatenate(
+            [state.patches[es["dense2patch"], :2, c, c],
+             state.dvec[jnp.clip(es["dense2patch"], 0, state.dvec.shape[0] - 1)][:, None]],
+            axis=1,
+        )  # [Md,3] (clip-gather)
         fx, fy, cx, cy = state.intrinsics[0]
         bounds = jnp.stack([-cfg.BA_BORDER, -cfg.BA_BORDER, 2 * cx + cfg.BA_BORDER, 2 * cy + cfg.BA_BORDER])
         poses, depths = ba_solver.ba(
@@ -512,11 +535,10 @@ class StepFunctions:
             es["ii"], es["jj"], es["kd"], t0, nfree, bounds, jnp.float32(cfg.BA_LMBDA),
             W=cfg.W_OPT_MAX, Md=cfg.M_OPT_MAX, iterations=cfg.BA_ITERS,
             ep=cfg.BA_EP, lm=cfg.BA_LM, res_clip=cfg.BA_RESIDUAL_CLIP, clamp_mode="runtime",
+            kd_order=es.get("kd_order"),
         )
-        patches = state.patches.at[es["dense2patch"], 2].set(
-            depths[:, None, None], mode="drop"
-        )
-        return state._replace(poses=poses, patches=patches)
+        dvec = state.dvec.at[es["dense2patch"]].set(depths, mode="drop")
+        return state._replace(poses=poses, dvec=dvec)
 
     def _ba_only(self, state: VOState, es: Dict[str, Any], target, weight, t0, nfree) -> VOState:
         """Sliding-window BA with externally supplied targets — the
@@ -525,7 +547,12 @@ class StepFunctions:
         end-to-end)."""
         cfg = self.cfg
         state = state._replace(target=target, weight=weight)
-        ctr = state.patches[es["dense2patch"], :, cfg.P // 2, cfg.P // 2]
+        c = cfg.P // 2
+        ctr = jnp.concatenate(
+            [state.patches[es["dense2patch"], :2, c, c],
+             state.dvec[jnp.clip(es["dense2patch"], 0, state.dvec.shape[0] - 1)][:, None]],
+            axis=1,
+        )
         fx, fy, cx, cy = state.intrinsics[0]
         bounds = jnp.stack([-cfg.BA_BORDER, -cfg.BA_BORDER, 2 * cx + cfg.BA_BORDER, 2 * cy + cfg.BA_BORDER])
         poses, depths = ba_solver.ba(
@@ -533,11 +560,10 @@ class StepFunctions:
             es["ii"], es["jj"], es["kd"], t0, nfree, bounds, jnp.float32(cfg.BA_LMBDA),
             W=cfg.W_OPT_MAX, Md=cfg.M_OPT_MAX, iterations=cfg.BA_ITERS,
             ep=cfg.BA_EP, lm=cfg.BA_LM, res_clip=cfg.BA_RESIDUAL_CLIP, clamp_mode="runtime",
+            kd_order=es.get("kd_order"),
         )
-        patches = state.patches.at[es["dense2patch"], 2].set(
-            depths[:, None, None], mode="drop"
-        )
-        return state._replace(poses=poses, patches=patches)
+        dvec = state.dvec.at[es["dense2patch"]].set(depths, mode="drop")
+        return state._replace(poses=poses, dvec=dvec)
 
     def _update_noba(self, params, state: VOState, es: Dict[str, Any]) -> VOState:
         """Update operator only (used before a global-BA round, which
@@ -571,7 +597,8 @@ class StepFunctions:
     def _flowmag_pair(self, state: VOState, ii, jj, kk, valid, beta):
         """Masked mean flow magnitude (ref dpvo.py:586-599 motionmag)."""
         mag, val = pops.flow_mag(
-            state.poses, state.patches, state.intrinsics, ii, jj, kk, beta=beta
+            state.poses, state.patches, state.intrinsics, ii, jj, kk, beta=beta,
+            depth=state.dvec,
         )
         m = jnp.mean(mag, axis=(1, 2)) * valid
         cnt = jnp.maximum(jnp.sum(valid), 1)
@@ -607,6 +634,7 @@ class StepFunctions:
         return state._replace(
             poses=state.poses[frame_perm],
             patches=state.patches[patch_perm],
+            dvec=state.dvec[patch_perm],
             intrinsics=state.intrinsics[frame_perm],
             colors=state.colors[frame_perm],
             imap=state.imap[pslots],
@@ -620,13 +648,11 @@ class StepFunctions:
     def _normalize(self, state: VOState, n, m) -> VOState:
         """Scale-gauge fixing before global BA (ref patchgraph.py:93-100)."""
         M, P = self.cfg.PATCHES_PER_FRAME, self.cfg.P
-        pidx = jnp.arange(state.patches.shape[0])
+        pidx = jnp.arange(state.dvec.shape[0])
         pvalid = pidx < m
-        d = state.patches[:, 2]
-        s = jnp.sum(jnp.where(pvalid[:, None, None], d, 0.0)) / jnp.maximum(
-            jnp.sum(pvalid) * P * P, 1
-        )
-        patches = state.patches.at[:, 2].set(jnp.where(pvalid[:, None, None], d / s, d))
+        d = state.dvec
+        s = jnp.sum(jnp.where(pvalid, d, 0.0)) / jnp.maximum(jnp.sum(pvalid), 1)
+        dvec = jnp.where(pvalid, d / s, d)
         fvalid = jnp.arange(state.poses.shape[0]) < n
         t_scaled = state.poses[:, :3] * s
         poses = state.poses.at[:, :3].set(jnp.where(fvalid[:, None], t_scaled, state.poses[:, :3]))
@@ -634,7 +660,7 @@ class StepFunctions:
         anchor = se3.inv(poses[0])
         re = se3.mul(poses, anchor)
         poses = jnp.where(fvalid[:, None], re, poses)
-        return state._replace(poses=poses, patches=patches), s
+        return state._replace(poses=poses, dvec=dvec), s
 
     def _global_ba(self, params, state: VOState, ges: Dict[str, Any], inac_pos, n_inac, t0, nfree, idx: Dict[str, Any]) -> VOState:
         """Full-history BA over active + inactive edges
@@ -654,7 +680,12 @@ class StepFunctions:
         target = jnp.where(use_inac, t_in, t_ac)
         weight = jnp.where(use_inac, w_in, w_ac)
 
-        ctr = state.patches[ges["dense2patch"], :, cfg.P // 2, cfg.P // 2]
+        c = cfg.P // 2
+        ctr = jnp.concatenate(
+            [state.patches[ges["dense2patch"], :2, c, c],
+             state.dvec[jnp.clip(ges["dense2patch"], 0, state.dvec.shape[0] - 1)][:, None]],
+            axis=1,
+        )
         fx, fy, cx, cy = state.intrinsics[0]
         bounds = jnp.stack([-cfg.BA_BORDER, -cfg.BA_BORDER, 2 * cx + cfg.BA_BORDER, 2 * cy + cfg.BA_BORDER])
         gba_args = (
@@ -669,10 +700,8 @@ class StepFunctions:
             poses, depths = gba_sparse.dist_gba(self.mesh, *gba_args, **gba_kw)
         else:
             poses, depths = gba_sparse.gba(*gba_args, **gba_kw)
-        patches = state.patches.at[ges["dense2patch"], 2].set(
-            depths[:, None, None], mode="drop"
-        )
-        return state._replace(poses=poses, patches=patches)
+        dvec = state.dvec.at[ges["dense2patch"]].set(depths, mode="drop")
+        return state._replace(poses=poses, dvec=dvec)
 
     def _apply_pgo(self, state: VOState, poses_new, scales, m) -> VOState:
         """Apply a Sim(3) PGO result: rewrite poses < m and rescale
@@ -685,9 +714,8 @@ class StepFunctions:
         poses = jnp.where(mask[:, None], poses_new, state.poses)
         s_frame = jnp.where(mask, scales, 1.0)
         s_patch = s_frame[jnp.arange(N * M) // M]
-        d = state.patches[:, 2] / s_patch[:, None, None]
-        patches = state.patches.at[:, 2].set(d)
-        return state._replace(poses=poses, patches=patches)
+        dvec = state.dvec / s_patch
+        return state._replace(poses=poses, dvec=dvec)
 
     # ---------------- outputs ----------------
 
@@ -696,7 +724,8 @@ class StepFunctions:
         (ref dpvo.py:834-836)."""
         cfg = self.cfg
         ix = jnp.arange(state.patches.shape[0], dtype=jnp.int32) // cfg.PATCHES_PER_FRAME
-        X = pops.point_cloud(state.poses, state.patches, state.intrinsics, ix)
+        X = pops.point_cloud(state.poses, state.patches, state.intrinsics, ix,
+                             depth=state.dvec)
         c = cfg.P // 2
         pts = X[:, c, c, :3] / jnp.maximum(jnp.abs(X[:, c, c, 3:]), 1e-8) * jnp.sign(X[:, c, c, 3:])
         ok = (jnp.arange(pts.shape[0]) < m)[:, None]

@@ -80,6 +80,7 @@ class EdgeSet:
     mask_ix: np.ndarray
     mask_jx: np.ndarray
     kd: np.ndarray           # dense depth-variable index (== kk_seg)
+    kd_order: np.ndarray     # stable argsort of padded kd (sorted segsum)
     dense2patch: np.ndarray  # [M_pad] patch index per depth variable
     n_depths: int
     count: int
@@ -220,6 +221,7 @@ class Topology:
 
         valid = np.zeros(pad, bool)
         valid[:E] = True
+        kd_pad = padi(kk_seg)
         return EdgeSet(
             ii=padi(ii),
             jj=padi(jj),
@@ -233,7 +235,8 @@ class Topology:
             jx=padi(jx),
             mask_ix=np.pad(hp, (0, pad - E)),
             mask_jx=np.pad(hn, (0, pad - E)),
-            kd=padi(kk_seg),
+            kd=kd_pad,
+            kd_order=np.argsort(kd_pad, kind="stable").astype(np.int32),
             dense2patch=dense2patch,
             n_depths=n_depths,
             count=E,

@@ -313,7 +313,7 @@ class LongTermLoopClosure:
         # init every keypoint at the keyframe's median patch inverse
         # depth (ref long_term.py:112 true_disp)
         d0 = float(np.median(np.asarray(
-            slam.state.patches[i * M:(i + 1) * M, 2, 1, 1])))
+            slam.state.dvec[i * M:(i + 1) * M])))
         d0 = d0 if np.isfinite(d0) and d0 > 1e-4 else 1.0
         X, keep = _triplet_structure_ba(
             poses[triplet], intr_full, xy, targets, tvalid, d0)

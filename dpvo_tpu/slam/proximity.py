@@ -91,7 +91,10 @@ def edges_loop(slam):
 
     # collapse patches to their center pixel (ref patchgraph.py:80)
     c = cfg.P // 2
-    ctr = slam.state.patches[:, :, c : c + 1, c : c + 1]
+    import jax.numpy as _jnp
+    ctr = _jnp.concatenate(
+        [slam.state.patches[:, :2, c : c + 1, c : c + 1],
+         slam.state.dvec[:, None, None, None]], axis=1)
     mag, val = _lc_flow(
         slam.state.poses, ctr, slam.state.intrinsics,
         jnp.asarray(iiP), jnp.asarray(jjP), jnp.asarray(kkP), jnp.asarray(vP),

@@ -78,6 +78,8 @@ def main():
     fns = {
         "pallas": cp.corr_features_pallas,
         "pallas_sw": cp.corr_features_pallas_sw,
+        "pallas_dma": cp.corr_features_pallas_dma,
+        "nokern": lambda *a, **k: cp._corr_features_common(*a, **k, level_fn=cp._corr_level_nokern),
         "xla": corr_features_xla,
     }
     for name in args.impls.split(","):

@@ -179,10 +179,12 @@ def main():
     # corr only: reproject + correlate, carry threads coords via a scalar
     from dpvo_tpu.geom import projective as pops
     from dpvo_tpu.ops.corr import corr_features_xla
-    from dpvo_tpu.ops.corr_pallas import corr_features_pallas, corr_features_pallas_sw
+    from dpvo_tpu.ops.corr_pallas import (
+        corr_features_pallas, corr_features_pallas_dma, corr_features_pallas_sw)
 
     corr_fn = {"pallas": corr_features_pallas,
-               "pallas_sw": corr_features_pallas_sw}.get(
+               "pallas_sw": corr_features_pallas_sw,
+               "pallas_dma": corr_features_pallas_dma}.get(
                    steps.corr_impl, corr_features_xla)
     state = slam.state
 

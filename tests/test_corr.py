@@ -225,3 +225,36 @@ def test_corr_features_pallas_sw_matches_xla_interpret():
                                              valid, interpret=True), np.float32)
     assert got.shape == want.shape == (E, 9, 128)
     np.testing.assert_allclose(got, want, atol=0.5, rtol=0.06)
+
+
+def test_corr_features_pallas_dma_matches_xla_interpret():
+    """The v3 (DMA-pipelined superwindow) kernel must match the XLA path
+    for coords within its +-3 px clamp envelope (reprojected patches
+    always are: one depth per patch bounds the pixel spread)."""
+    import numpy as np
+
+    from dpvo_tpu.ops import corr_features_xla
+    from dpvo_tpu.ops.corr_pallas import corr_features_pallas_dma
+
+    rng = np.random.default_rng(7)
+    Np, C, P = 24, 128, 3
+    mem, H2, W2 = 4, 24, 32
+    E = 37
+    gmap = jnp.asarray(rng.standard_normal((Np, C, P, P)), jnp.bfloat16)
+    fmap1 = jnp.asarray(rng.standard_normal((mem, H2, W2, C)), jnp.bfloat16)
+    fmap2 = jnp.asarray(rng.standard_normal((mem, H2 // 4, W2 // 4, C)), jnp.bfloat16)
+    base = rng.uniform(-6, 36, (E, 1, 1, 2))
+    grid = np.stack(np.meshgrid(np.arange(-1, 2), np.arange(-1, 2), indexing="ij"), -1)
+    coords = jnp.asarray(
+        base + grid[None][..., ::-1] + rng.uniform(-0.8, 0.8, (E, P, P, 2)),
+        jnp.float32)
+    ii1 = jnp.asarray(rng.integers(0, Np, E), jnp.int32)
+    jj1 = jnp.asarray(rng.integers(0, mem, E), jnp.int32)
+    valid = jnp.asarray(rng.uniform(size=E) > 0.2)
+
+    want = np.asarray(corr_features_xla(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
+                                        impl="gather"), np.float32)
+    got = np.asarray(corr_features_pallas_dma(gmap, fmap1, fmap2, coords, ii1, jj1,
+                                              valid, interpret=True), np.float32)
+    assert got.shape == want.shape == (E, 9, 128)
+    np.testing.assert_allclose(got, want, atol=0.5, rtol=0.06)

@@ -128,10 +128,13 @@ def test_dist_gba_matches_single_device():
     mesh = make_mesh(n_data=1, n_edge=8)
     dist = dist_gba(mesh, *args, idx_j, W=W, Md=Md, iterations=2)
 
+    # f32 two-iteration GN: the sharded psum reduction order differs
+    # from the single-device sum, so agreement is a few ULP per step
+    # amplified through the second iteration (~1e-4 relative)
     np.testing.assert_allclose(np.asarray(dist[0]), np.asarray(single[0]),
-                               atol=1e-5, rtol=1e-5)
+                               atol=5e-5, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(dist[1]), np.asarray(single[1]),
-                               atol=1e-5, rtol=1e-5)
+                               atol=5e-5, rtol=2e-4)
 
 
 def test_pair_chunk_overrun_no_double_count(monkeypatch):

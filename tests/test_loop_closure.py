@@ -100,13 +100,13 @@ def test_apply_pgo_rescales_depths():
                  M_OPT_MAX=128, GBA_POSES_MAX=16, GBA_DEPTHS_MAX=256, GBA_EDGES_MAX=512)
     steps = StepFunctions(cfg, 64, 96)
     state = make_state(cfg, 64, 96)
-    state = state._replace(patches=state.patches.at[:, 2].set(1.0))
+    state = state._replace(dvec=state.dvec.at[:].set(1.0))
 
     N, M = cfg.BUFFER_SIZE, cfg.PATCHES_PER_FRAME
     poses_new = np.tile(np.array([1, 2, 3, 0, 0, 0, 1.0], np.float32), (N, 1))
     scales = np.full(N, 2.0, np.float32)
     out = steps.apply_pgo(state, jnp.asarray(poses_new), jnp.asarray(scales), jnp.int32(4))
-    d = np.asarray(out.patches[:, 2, 1, 1])
+    d = np.asarray(out.dvec)
     np.testing.assert_allclose(d[: 4 * M], 0.5)
     np.testing.assert_allclose(d[4 * M:], 1.0)
     p = np.asarray(out.poses)
