@@ -44,13 +44,13 @@ def main():
                 break
             kv.append(a)
         overrides = dict(zip(kv[0::2], kv[1::2]))
-    # keep fused frames in flight to hide the tunnel round trip behind
-    # device compute. The trained-weights A/B (scripts/kf_lag_ab.py,
-    # PARITY.md) measured the keyframe-decision lag this introduces:
-    # depth 1 is trajectory-identical to the reference-exact timing;
-    # depth 4 changed keyframe sets and cost ~15% rel-ATE on worst-case
-    # tiny scenes. Override with --opts PIPELINE_DEPTH N.
-    overrides.setdefault("PIPELINE_DEPTH", "4")
+    # Headline number runs the ACCURACY-NEUTRAL config: pipeline depth
+    # 1 is trajectory-identical to reference-exact keyframe timing
+    # (scripts/kf_lag_ab.py, PARITY.md), while depth 4 changed keyframe
+    # sets and cost ~15% rel-ATE on worst-case tiny scenes. Deeper
+    # pipelining hides more tunnel RTT and raises FPS — measure it with
+    # --opts PIPELINE_DEPTH 4, reported separately in PERF.md.
+    overrides.setdefault("PIPELINE_DEPTH", "1")
     cfg = load_config(yaml if os.path.exists(yaml) else None, overrides)
 
     # trained weights: --network PATH, $DPVO_BENCH_NETWORK, or the
@@ -172,6 +172,9 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 60.0, 3),
+        # self-describing artifact: which weights + pipeline depth ran
+        "weights": network or "random",
+        "pipeline_depth": cfg.PIPELINE_DEPTH,
     }))
 
 

@@ -103,15 +103,31 @@ def build_sparse_indices(
         sq = sizes
         p1 = p2 = np.zeros(0, np.int64)
     KP = len(p1)
+    fkeep = np.ones(F, bool)
     if KP > KP_MAX:
-        # keep the smallest depth groups intact; dropping E Q E^T blocks
-        # only makes S more conservative (larger), never indefinite
+        # Capacity overflow: keep the smallest depth groups' couplings
+        # intact and FREEZE the depth variables of every group that
+        # loses couplings (fkeep=False on their entries -> excluded from
+        # the E Q E^T subtraction, the E Q u correction, AND the depth
+        # back-substitution). Freezing keeps the Gauss-Newton system
+        # CONSISTENT — the earlier scheme dropped couplings from S but
+        # still back-substituted those depths against the full E, a
+        # mismatch that measurably destabilizes long loop-closure runs
+        # (the 250-frame soak diverged to 1e13 translations after ~50
+        # such GBA rounds; tests/test_soak.py).
+        pair_group = np.repeat(np.arange(len(sizes)), sq)
         order = np.argsort(np.repeat(sizes, sq), kind="stable")
         keep = order[:KP_MAX]
-        print(f"warning: GBA kpairs {KP} exceed {KP_MAX}; dropping "
-              f"{KP - KP_MAX} couplings of the largest depth groups")
+        kept_per_group = np.bincount(pair_group[keep], minlength=len(sizes))
+        clean = kept_per_group == sq
+        # drop ALL pairs of unclean groups (their depths are frozen)
+        keep = keep[clean[pair_group[keep]]]
+        entry_group = np.repeat(np.arange(len(sizes)), sizes)
+        fkeep = clean[entry_group]
+        print(f"warning: GBA kpairs {KP} exceed {KP_MAX}; freezing "
+              f"{int((~clean).sum())} depth groups this round")
         p1, p2 = p1[keep], p2[keep]
-        KP = KP_MAX
+        KP = len(p1)
 
     def pad(a, n, dt=np.int32):
         out = np.zeros(n, dt)
@@ -123,6 +139,7 @@ def build_sparse_indices(
         r2f=pad(r2f, R_MAX), rmask=pad(np.ones(R, bool), R_MAX, bool),
         fk=pad(fk, R_MAX), fa=pad(fa, R_MAX),
         fmask=pad(np.ones(F, bool), R_MAX, bool),
+        fkeep=pad(fkeep, R_MAX, bool),
         p1=pad(p1, KP_MAX), p2=pad(p2, KP_MAX),
         kpmask=pad(np.ones(KP, bool), KP_MAX, bool),
     )
@@ -192,6 +209,7 @@ def _iteration(poses, depths, patch_ctr, intrinsics, target, weight, valid,
     # per-row pose-depth couplings -> per-(k, pose) entries F
     re, rs, r2f, rmask = idx["re"], idx["rs"], idx["r2f"], idx["rmask"]
     fk, fa, fmask = idx["fk"], idx["fa"], idx["fmask"]
+    fkeep = idx.get("fkeep", fmask)  # entries of non-frozen depth groups
     p1, p2, kpmask = idx["p1"], idx["p2"], idx["kpmask"]
     F = fk.shape[0]
     Jr = jnp.where(rs[:, None, None], Jj[re], Ji[re])  # [R,2,6]
@@ -228,8 +246,9 @@ def _iteration(poses, depths, patch_ctr, intrinsics, target, weight, valid,
     # truncated kpairs can drop one of a symmetric block pair
     S = 0.5 * (S + S.T)
 
-    # y = v - E Q u, accumulated per entry
-    equ = Fe * (Q[fk] * u[fk] * fmask)[:, None]
+    # y = v - E Q u, accumulated per entry (frozen-depth entries are
+    # excluded so y matches the truncated S)
+    equ = Fe * (Q[fk] * u[fk] * (fmask & fkeep))[:, None]
     # NOTE: entry arrays (fk/fa/fmask) are replicated even under
     # sharding, so this reduction needs no psum
     y = (v - jax.ops.segment_sum(equ, fa, W)).reshape(6 * W)
@@ -251,7 +270,11 @@ def _iteration(poses, depths, patch_ctr, intrinsics, target, weight, valid,
     et_dx = jax.ops.segment_sum(
         jnp.einsum("fd,fd->f", Fe, dX[fa]) * fmask, fk, Md
     )
-    dZ = jnp.where(bad, 0.0, Q * (u - et_dx))
+    # depth vars of frozen groups take NO update this round
+    frozen = jax.ops.segment_sum(
+        (fmask & ~fkeep).astype(jnp.float32), fk, Md
+    )
+    dZ = jnp.where(bad | (frozen > 0), 0.0, Q * (u - et_dx))
 
     poses = apply_pose_retr(poses, dX, t0, nfree, W)
     depths = apply_depth_retr(depths, dZ, "runtime")
@@ -339,7 +362,7 @@ def dist_gba(
         # rows + pairs shard; entry tables stay replicated
         "re": shardspec, "ra": shardspec, "rs": shardspec, "r2f": shardspec,
         "rmask": shardspec,
-        "fk": rep, "fa": rep, "fmask": rep,
+        "fk": rep, "fa": rep, "fmask": rep, "fkeep": rep,
         "p1": shardspec, "p2": shardspec, "kpmask": shardspec,
     }
 

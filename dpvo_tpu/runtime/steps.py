@@ -652,6 +652,15 @@ class StepFunctions:
         pvalid = pidx < m
         d = state.dvec
         s = jnp.sum(jnp.where(pvalid, d, 0.0)) / jnp.maximum(jnp.sum(pvalid), 1)
+        # Bounded gauge rescale (deviation from the reference's raw mean,
+        # patchgraph.py:98): a fat tail of weakly-constrained inverse
+        # depths can hold the mean >1 across consecutive global-BA
+        # rounds, and since every normalize multiplies translations by s,
+        # an unbounded s ratchets the trajectory scale exponentially over
+        # long loop-closure runs (measured: 250-frame soak reached 1e13
+        # before this clamp; tests/test_soak.py). Sane scenes have
+        # s ~= 1, where this is a no-op.
+        s = jnp.clip(s, 0.25, 4.0)
         dvec = jnp.where(pvalid, d / s, d)
         fvalid = jnp.arange(state.poses.shape[0]) < n
         t_scaled = state.poses[:, :3] * s

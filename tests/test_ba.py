@@ -11,6 +11,11 @@ from dpvo_tpu.geom import projective as pops
 from dpvo_tpu.lie import se3
 
 
+
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 def synthetic_problem(key, n_frames=6, n_points=64, noise=0.0):
     """GT trajectory + landmarks; observations = GT projections."""
     keys = jax.random.split(key, 6)

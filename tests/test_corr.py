@@ -8,6 +8,11 @@ import numpy as np
 from dpvo_tpu.ops import avg_pool2d, patchify, sparse_corr
 
 
+
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 def numpy_corr(gmap, fmap, coords, ii1, jj1, radius):
     """Direct port of corr_forward_kernel + the 2x2 bilinear wrapper."""
     E, P, _, _ = coords.shape

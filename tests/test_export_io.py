@@ -10,6 +10,11 @@ import pytest
 from dpvo_tpu.eval.export import save_colmap, save_ply, save_trajectory_tum
 
 
+
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 def _poses(n=5):
     rng = np.random.default_rng(0)
     p = np.zeros((n, 7), np.float32)

@@ -6,6 +6,11 @@ import numpy as np
 from dpvo_tpu.data import frame_utils as fu
 
 
+
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 def test_flo_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     flow = rng.standard_normal((24, 32, 2)).astype(np.float32)

@@ -152,12 +152,17 @@ def test_pair_chunk_overrun_no_double_count(monkeypatch):
     t0, nfree, W = 1, n - 1, 8
     Md = ctr_gt.shape[0]
     E = ii.shape[0]
-    # kp_max below the natural pair count -> truncation fills the array
-    # with true pairs end to end; 61 is not a multiple of 7
+    # slice the pair arrays to 61 LIVE pairs end to end — the layout a
+    # non-final dist_gba shard sees (capacity truncation no longer
+    # produces this shape: since the consistency fix it drops whole
+    # depth groups and leaves a dead tail); 61 is not a multiple of 7
     idx = build_sparse_indices(
         np.asarray(ii), np.asarray(jj), np.asarray(kd), t0, nfree,
-        W=W, R_MAX=4096, KP_MAX=61,
+        W=W, R_MAX=4096, KP_MAX=1 << 14,
     )
+    assert int(idx["kpmask"].sum()) > 61, "test premise: enough live pairs"
+    idx = {**idx, "p1": idx["p1"][:61], "p2": idx["p2"][:61],
+           "kpmask": idx["kpmask"][:61]}
     assert bool(idx["kpmask"].all()), "test premise: tail must be live"
     args = (
         jnp.asarray(poses_gt), ctr_gt, intr, target,

@@ -9,6 +9,11 @@ from dpvo_tpu.geom import projective as pops
 from dpvo_tpu.lie import se3
 
 
+
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 def make_scene(key, n_frames=5, n_patches=12, P=3):
     """Random camera trajectory looking at points in front of it."""
     k1, k2, k3 = jax.random.split(key, 3)

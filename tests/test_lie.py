@@ -12,6 +12,11 @@ import pytest
 
 from dpvo_tpu.lie import se3, sim3, so3
 
+
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 KEY = jax.random.PRNGKey(0)
 
 

@@ -7,6 +7,11 @@ from dpvo_tpu.lie import se3, sim3
 from dpvo_tpu.slam.pgo import apply_loop_closure, run_pgo
 
 
+
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 def make_drifty_loop(n=40, seed=0):
     """GT: closed square-ish loop. Estimate: GT + accumulating drift."""
     rng = np.random.default_rng(seed)

@@ -5,6 +5,11 @@ import numpy as np
 from dpvo_tpu.data import rgbd_utils as ru
 
 
+
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 def _write_tum_dir(tmp_path, n=12):
     rng = np.random.default_rng(0)
     (tmp_path / "rgb").mkdir()

@@ -6,6 +6,11 @@ from dpvo_tpu.config import Config
 from dpvo_tpu.runtime.topology import Topology, neighbors
 
 
+
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 def brute_neighbors(kk, jj):
     E = len(kk)
     ix = np.arange(E)
