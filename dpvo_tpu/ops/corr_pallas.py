@@ -579,13 +579,17 @@ def _corr_level_v3(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
 @partial(jax.jit, static_argnames=("radius", "interpret", "level_fn"))
 def _corr_features_common(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
                           radius: int = 3, interpret: bool = False,
-                          level_fn=None):
+                          level_fn=None, jj_order=None, jj_inv=None):
     """Two-level correlation features in canonical layout.
 
     gmap  [Np, C, P, P] patch matching features (circular buffer)
     fmap1 [mem, H2, W2, C]; fmap2 [mem, H2/4, W2/4, C]  (NHWC)
     coords [E, P, P, 2]  level-1 reprojected (x, y)
     ii1/jj1 [E] int32 circular-slot indices; valid [E] bool
+    jj_order/jj_inv: optional host-precomputed valid-first stable sort
+    by jj and its inverse (the sort depends only on topology, so the
+    host ships it once per frame — the on-device argsort costs ~2 ms
+    at E=49k)
     returns [E, P*P, 2*D*D] bfloat16
     """
     E = coords.shape[0]
@@ -599,9 +603,15 @@ def _corr_features_common(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
     ii_p = jnp.pad(ii1, (0, padE))
     cs_p = jnp.pad(coords.reshape(E, P2, 2), ((0, padE), (0, 0), (0, 0)))
 
-    key = jnp.where(valid_p, jj_p, jnp.int32(2 ** 30))
-    order = jnp.argsort(key)
-    inv = jnp.zeros((Ep,), jnp.int32).at[order].set(jnp.arange(Ep, dtype=jnp.int32))
+    if jj_order is not None and jj_inv is not None and padE == 0:
+        # host order covers exactly the capacity bucket (all fused-path
+        # capacities are EB multiples); other callers keep the device sort
+        order = jj_order.astype(jnp.int32)
+        inv = jj_inv.astype(jnp.int32)
+    else:
+        key = jnp.where(valid_p, jj_p, jnp.int32(2 ** 30))
+        order = jnp.argsort(key)
+        inv = jnp.zeros((Ep,), jnp.int32).at[order].set(jnp.arange(Ep, dtype=jnp.int32))
 
     gr = gmap.transpose(0, 2, 3, 1).reshape(Np, P2, C).astype(jnp.bfloat16)
     f1 = gr[ii_p[order]]
@@ -636,10 +646,13 @@ def corr_features_pallas_sw(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
 
 
 def corr_features_pallas_dma(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
-                             radius: int = 3, interpret: bool = False):
+                             radius: int = 3, interpret: bool = False,
+                             jj_order=None, jj_inv=None):
     """v3 kernel: double-buffered per-edge superwindow DMA + MXU dot,
     fused selection+bilinear epilogue. Per-pixel windows clamped within
-    +-3 px of the patch-center window (exact for real patch geometry)."""
+    +-3 px of the patch-center window (exact for real patch geometry).
+    jj_order/jj_inv: optional host-shipped valid-first jj sort."""
     return _corr_features_common(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
                                  radius=radius, interpret=interpret,
-                                 level_fn=_corr_level_v3)
+                                 level_fn=_corr_level_v3,
+                                 jj_order=jj_order, jj_inv=jj_inv)

@@ -365,6 +365,13 @@ class DPVO:
 
         valid = np.zeros(E, np.uint8)
         valid[:Ecur] = 1
+        # valid-first jj-slot sort for the correlation kernel — must
+        # mirror _corr_features_common's device key exactly
+        keyjj = np.full(E, 1 << 30, np.int64)
+        keyjj[:Ecur] = topo.jj % cfg.MEM
+        jj_order = np.argsort(keyjj, kind="stable")
+        jj_inv = np.empty(E, np.int64)
+        jj_inv[jj_order] = np.arange(E)
         buf = self.steps.pack_frame(
             self._framebufs[E], padE(topo.kk, np.int32), padE(topo.jj, np.uint16),
             padE(ix, np.uint16), padE(jx, np.uint16), padE(hp, np.uint8),
@@ -373,6 +380,7 @@ class DPVO:
             ops[0][:E].astype(np.uint16), ops[1][:E].astype(np.uint16),
             ops[2][:E].astype(np.uint16),
             np.argsort(padE(kk_seg, np.int32), kind="stable").astype(np.uint16),
+            jj_order.astype(np.uint16), jj_inv.astype(np.uint16),
             E_cap=E,
         )
         _t0 = _time.perf_counter()

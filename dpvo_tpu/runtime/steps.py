@@ -145,6 +145,8 @@ class StepFunctions:
             ("src", 2 * E, np.uint16),
             ("dst", 2 * E, np.uint16),
             ("kd_order", 2 * E, np.uint16),
+            ("jj_order", 2 * E, np.uint16),
+            ("jj_inv", 2 * E, np.uint16),
         ]
         layout = {}
         off = 0
@@ -156,7 +158,7 @@ class StepFunctions:
 
     def pack_frame(self, buf, kk, jj, ix, jx, mask_ix, mask_jx, valid,
                    d2p, kk_seg, ij_seg, meta, perm, src, dst, kd_order=None,
-                   E_cap: int = None):
+                   jj_order=None, jj_inv=None, E_cap: int = None):
         """Fill the preallocated uint8 frame buffer (host side). The
         image ships separately so its (much larger) upload can start the
         moment the frame arrives, before the keyframe decision fixes the
@@ -190,6 +192,9 @@ class StepFunctions:
         put("dst", dst)
         if kd_order is not None:
             put("kd_order", kd_order)
+        if jj_order is not None:
+            put("jj_order", jj_order)
+            put("jj_inv", jj_inv)
         return buf
 
     def unpack_frame(self, buf, E_cap: int = None):
@@ -219,6 +224,8 @@ class StepFunctions:
         src = get("src", jnp.uint16, 2).astype(jnp.int32)
         dst = get("dst", jnp.uint16, 2).astype(jnp.int32)
         kd_order = get("kd_order", jnp.uint16, 2).astype(jnp.int32)
+        jj_order = get("jj_order", jnp.uint16, 2).astype(jnp.int32)
+        jj_inv = get("jj_inv", jnp.uint16, 2).astype(jnp.int32)
 
         ii = kk // M
         es = dict(
@@ -237,6 +244,8 @@ class StepFunctions:
         )
         es["kd"] = es["kk_seg"]
         es["kd_order"] = kd_order
+        es["jj_order"] = jj_order
+        es["jj_inv"] = jj_inv
         es["dense2patch"] = d2p
         return es, meta, (perm, src, dst)
 
@@ -488,9 +497,13 @@ class StepFunctions:
             "pallas_dma": corr_features_pallas_dma,
         }.get(self.corr_impl, corr_features_xla)
         E = coords.shape[0]
+        corr_kw = {}
+        if self.corr_impl == "pallas_dma" and es.get("jj_order") is not None:
+            corr_kw = dict(jj_order=es["jj_order"], jj_inv=es["jj_inv"])
         corr = corr_fn(
             state.gmap, state.fmap1, state.fmap2, coords.astype(jnp.float32),
             es["ii1"], es["jj1"], es["valid"], radius=cfg.CORR_RADIUS,
+            **corr_kw,
         ).reshape(E, -1).astype(self.fdt)
         ctx = state.imap[es["ii1"]]
         if self.exported is not None:
