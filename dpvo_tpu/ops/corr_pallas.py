@@ -475,6 +475,80 @@ def _make_kernel_v3(H2: int, W2: int, C: int, P2: int):
     return kernel
 
 
+EB3 = 128  # edges per epilogue-kernel block (VMEM-bounded)
+
+
+def _make_epi_kernel(P2: int, W7: int):
+    """Selection + bilinear tap stencil as a Pallas pass.
+
+    XLA's fusion of the same stencil re-reads the tap slices per output
+    element and transposes the [E,P2,384] kernel output to an E-minor
+    layout first (~2.9 ms of relayout copies + ~8 ms of tap fusions at
+    E=49152); here each block stays in VMEM and is read once."""
+
+    def kernel(dy_r, dxw_r, dyf_r, dxf_r, vf_r, s_r, out_r, tmp_r, acc_r):
+        dy = dy_r[:]
+        dxw = dxw_r[:]
+        dyf = dyf_r[:].astype(jnp.float32)
+        dxf = dxf_r[:].astype(jnp.float32)
+        vf = vf_r[:].astype(jnp.float32)
+        s4 = s_r[:]  # [EB3, 16, RS3*CS3] bf16 (P2 padded to 16)
+
+        # Mosaic only supports minor-dim insertion on 32-bit types:
+        # coefficient broadcasts stay f32, data converts per tap
+        tmp_r[:] = jnp.zeros_like(tmp_r)
+        for a in range(9):  # row selection + y-bilinear (2 live taps)
+            cR = ((dy == a).astype(jnp.float32) * (1.0 - dyf)
+                  + (dy == a - 1).astype(jnp.float32) * dyf)
+            tmp_r[:, :, :W7] += (
+                cR[:, :, None] * s4[:, :, a * CS3:a * CS3 + W7].astype(jnp.float32)
+            ).astype(jnp.bfloat16)
+
+        acc_r[:] = jnp.zeros_like(acc_r)
+        for b in range(17):  # col selection (incl. align remainder) + x-bilinear
+            cC = ((dxw == b).astype(jnp.float32) * (1.0 - dxf)
+                  + (dxw == b - 1).astype(jnp.float32) * dxf)
+            acc_r[:] += (cC * vf)[:, :, None] * tmp_r[:, :, b:b + W7].astype(jnp.float32)
+        out_r[:] = acc_r[:].astype(out_r.dtype)
+
+    return kernel
+
+
+def _epi_pallas(s, dy, dxw, dyf, dxf, vf, interpret: bool):
+    """s [Ep, P2, RS3*CS3] bf16 -> [Ep, P2, 7*CS3] bf16 (x stride CS3).
+
+    Sublane dim padded to 16 (Mosaic rejects 9-sublane 3-D broadcasts);
+    padded rows carry vf=0 and are sliced off by the caller."""
+    Ep, P2, _ = s.shape
+    W7 = 7 * CS3
+    s16 = jnp.pad(s, ((0, 0), (0, 16 - P2), (0, 0)))
+
+    def pad16(a, dt):
+        return jnp.pad(a.astype(dt), ((0, 0), (0, 16 - P2)))
+
+    blk2 = lambda: pl.BlockSpec((EB3, 16), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_epi_kernel(P2, W7),
+        grid=(Ep // EB3,),
+        in_specs=[
+            blk2(), blk2(), blk2(), blk2(), blk2(),
+            pl.BlockSpec((EB3, 16, RS3 * CS3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((EB3, 16, W7), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Ep, 16, W7), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((EB3, 16, W7 + 24), jnp.bfloat16),
+            pltpu.VMEM((EB3, 16, W7), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pad16(dy, jnp.int32), pad16(dxw, jnp.int32), pad16(dyf, jnp.float32),
+      pad16(dxf, jnp.float32), pad16(vf, jnp.float32), s16)
+    return out[:, :P2]
+
+
 def _corr_level_nokern(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
     """Perf diagnosis: the sort/gather/pad scaffolding with a free level
     body — measures _corr_features_common overhead S."""
@@ -553,9 +627,19 @@ def _corr_level_v3(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
     # Fused epilogue: row/col selection + 2x2 bilinear as a two-stage
     # tap stencil in bf16. cR merges the one-hot over dy with the
     # y-bilinear, cC the one-hot over dxw (incl. the 8-alignment
-    # remainder) with the x-bilinear. All-bf16 with static slices — the
-    # measured-fastest XLA formulation (gathers are ~40x slower; f32
-    # doubles traffic; lane-flattened layouts force per-tap rotates).
+    # remainder) with the x-bilinear.
+    if E % EB3 == 0:
+        # Pallas pass: blocks stay in VMEM, taps read once (see
+        # _make_epi_kernel). All fused-path capacities divide EB3.
+        wide = _epi_pallas(s, dy, dxw, dyf, dxf, vf, interpret)
+        Dm1 = D - 1
+        out = wide.reshape(E, P2, Dm1, CS3)[..., :Dm1]
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, 1), (0, 1)))
+        return out.reshape(E, P2, D * D)
+
+    # XLA fallback (small/odd E): static slices — the measured-fastest
+    # XLA formulation (gathers are ~40x slower; f32 doubles traffic;
+    # lane-flattened layouts force per-tap rotates).
     s4 = s.reshape(E, P2, RS3, CS3)
     ar = jnp.arange(10, dtype=jnp.int32)                          # a in [0,9]
     cR = (((ar == dy[..., None]) * (1.0 - dyf[..., None])
