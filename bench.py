@@ -176,15 +176,20 @@ def main():
         dev_ms = (times[12] - times[2]) / 10 * 1e3
         print(f"# device frame_step: {dev_ms:.1f} ms/frame", file=sys.stderr)
 
+    # per-phase host-timeline split, always recorded in the JSON so the
+    # committed BENCH artifact is diagnosable (a tunnel-weather drain
+    # spike reads as exactly that, not as a framework regression)
+    pt = slam.phase_times
+    nf = max(pt["frames"] - pt0["frames"], 1)
+    phases = {}
+    other = dt
+    for k in ("upload", "drain", "pack", "dispatch"):
+        phases[k] = round((pt[k] - pt0[k]) / nf * 1e3, 2)
+        other -= pt[k] - pt0[k]
+    phases["other"] = round(other / nf * 1e3, 2)
     if "--phases" in sys.argv:
-        pt = slam.phase_times
-        nf = max(pt["frames"] - pt0["frames"], 1)
-        other = dt
-        for k in ("upload", "drain", "pack", "dispatch"):
-            ms = (pt[k] - pt0[k]) / nf * 1e3
-            other -= (pt[k] - pt0[k])
-            print(f"# {k}: {ms:.1f} ms/frame", file=sys.stderr)
-        print(f"# device-wait(other): {other / nf * 1e3:.1f} ms/frame", file=sys.stderr)
+        for k, v in phases.items():
+            print(f"# {k}: {v:.1f} ms/frame", file=sys.stderr)
 
     fps = n_bench / dt
     print(json.dumps({
@@ -195,6 +200,7 @@ def main():
         # self-describing artifact: which weights + pipeline depth ran
         "weights": network or "random",
         "pipeline_depth": cfg.PIPELINE_DEPTH,
+        "phases_ms": phases,
     }))
 
 

@@ -51,8 +51,8 @@ def _make_kernel(Kp: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("Md",))
-def segment_sum_sorted(payload, kd_sorted, *, Md: int):
+@partial(jax.jit, static_argnames=("Md", "interpret"))
+def segment_sum_sorted(payload, kd_sorted, *, Md: int, interpret: bool = False):
     """payload [E, K] f32 (rows sorted by segment id), kd_sorted [E]
     int32 (sorted dense ids in [0, Md)) -> [Md, K] f32 sums.
 
@@ -76,5 +76,6 @@ def segment_sum_sorted(payload, kd_sorted, *, Md: int):
         out_specs=pl.BlockSpec((Md + L, Kp), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Md + L, Kp), jnp.float32),
+        interpret=interpret,
     )(kd2[None], kd2[:, None], payload)
     return out[:Md, :K]

@@ -56,6 +56,27 @@ G_EDGES = int(os.environ.get("DPVO_CORR_G", "4"))
 assert EB % G_EDGES == 0
 
 
+def corr_sort_order(jj, n_valid: int, E_cap: int, mem: int):
+    """Host-side valid-first stable sort of edges by fmap slot jj % mem,
+    plus its inverse — THE contract the correlation kernels expect
+    (edges sorted so same-slot edges are contiguous and the nv valid
+    edges come first). _corr_features_common derives the identical
+    order on device when no host order is shipped; keep the two in
+    lockstep (see tests/test_corr.py::test_corr_sort_order_contract).
+
+    jj: [>= n_valid] int array of target frame indices (only the first
+    n_valid entries are live). Returns (order, inv) as int64 [E_cap].
+    """
+    import numpy as np
+
+    key = np.full(E_cap, np.iinfo(np.uint16).max, np.uint16)
+    key[:n_valid] = np.asarray(jj[:n_valid]) % mem  # mem << 2^16
+    order = np.argsort(key, kind="stable").astype(np.int64)  # u16 radix
+    inv = np.empty(E_cap, np.int64)
+    inv[order] = np.arange(E_cap)
+    return order, inv
+
+
 def _make_kernel(H2: int, W2: int, C: int, D: int, P2: int):
     W = D * D
     WX = D * 2 * D  # wide (unrotated) window rows per patch pixel
@@ -658,6 +679,296 @@ def _corr_level_v3(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
         out = out + cC[..., b, None, None] * tmp[..., b:b + Dm1]
     out = jnp.pad(out, ((0, 0), (0, 0), (0, 1), (0, 1)))
     return out.reshape(E, P2, D * D)
+
+
+# ---------------------------------------------------------------------
+# v4 ("pallas_fused"): ONE kernel pass for BOTH pyramid levels with the
+# selection + bilinear epilogue fused inside. Each edge gets two
+# double-buffered superwindow DMAs (one per level, shared loop/cache
+# machinery, f1 read once); after the per-edge MXU dots the kernel
+# applies the row/column selection and bilinear reduction as a
+# group-batched stencil on [G4*P2, 384] f32 tiles — flat (edge*pixel)
+# rows kill the [*, P2->16, lane] sublane-padding waste the separate
+# epilogue pass paid (16/9 = 1.8x), and the column stage runs as a
+# split-radix cascade (dxw = 4h + l: 4 + 4 + 2 taps instead of the
+# 17-tap merged one-hot). Selection coefficients are precomputed in
+# XLA and shipped as one [E*P2, 20] f32 array per level:
+#   [:, 0:10]  cR    merged row one-hot x y-bilinear   (9 taps used)
+#   [:, 10:14] clo   one-hot over dxw % 4
+#   [:, 14:18] chi   one-hot over dxw // 4
+#   [:, 18:20] bx    ((1-dxf)*vf, dxf*vf)  x-bilinear + validity
+# The kernel emits the WIDE result out[e, p, l*168 + u*24 + v]
+# (u-windows keep the CS3=24 stride); the cheap [*,:7]-slice + pad
+# compaction to the canonical [E, P2, 128] happens in XLA (one
+# elementwise pass, no transposes). Clamp semantics identical to v3:
+# per-pixel windows within +-3 px of the patch-center window.
+# Reference semantics: dpvo/altcorr/correlation_kernel.cu:82-160.
+# ---------------------------------------------------------------------
+
+G4 = 4        # edges per pipeline group (VMEM-bounded: the two
+              # frame caches + 2-level win ping-pong + stencil
+              # scratch must fit the 16 MB scoped-vmem limit)
+W7 = 7 * CS3  # wide output lanes per level (7 u-windows, stride 24)
+
+
+def _make_kernel_v4(H2: int, W2: int, H4: int, W4: int, C: int, P2: int):
+    SW = RS3 * CS3
+    GP = G4 * P2  # stencil rows per group
+
+    def kernel(jj_s, sy1_s, sx1_s, sy2_s, sx2_s, nv_s, f1_r, co1_r, co2_r,
+               fmap1_r, fmap2_r, out_r, cache1_r, cache2_r, win1_r, win2_r,
+               res_r, tmp_r, sA_r, sB_r, sC_r, loaded_r, csem, wsem):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            loaded_r[0] = -1
+
+        out_r[:] = jnp.zeros_like(out_r)
+        nv = jnp.clip(nv_s[0, 0] - pl.program_id(0) * EB, 0, EB)
+        ng = (nv + G4 - 1) // G4
+
+        def issue(g):
+            """Start the 2*G4 window DMAs of group g (both levels).
+            Caller guarantees no window copies are outstanding, so the
+            frame reload on a group's first edge is race-free; mid-group
+            frame boundaries DMA straight from the padded HBM maps."""
+            e0 = g * G4
+            base = (g % 2) * G4
+            jg = jj_s[0, e0]
+
+            @pl.when(jg != loaded_r[0])
+            def _():
+                loaded_r[0] = jg
+                # distinct semaphores per cache: two in-flight copies
+                # signaling one DMA sem can deadlock the waits
+                cp1 = pltpu.make_async_copy(fmap1_r.at[jg], cache1_r, csem.at[0])
+                cp2 = pltpu.make_async_copy(fmap2_r.at[jg], cache2_r, csem.at[1])
+                cp1.start()
+                cp2.start()
+                cp1.wait()
+                cp2.wait()
+
+            for q in range(G4):
+                e = e0 + q
+                j = jj_s[0, e]
+                for li, (sy_s, sx_s, cache, win, fm) in enumerate((
+                        (sy1_s, sx1_s, cache1_r, win1_r, fmap1_r),
+                        (sy2_s, sx2_s, cache2_r, win2_r, fmap2_r))):
+                    sy = sy_s[0, e]
+                    sx = pl.multiple_of(sx_s[0, e], 8)
+
+                    @pl.when(j == loaded_r[0])
+                    def _():
+                        pltpu.make_async_copy(
+                            cache.at[pl.ds(sy, RS3), pl.ds(sx, CS3), :],
+                            win.at[base + q],
+                            wsem.at[li, base + q],
+                        ).start()
+
+                    @pl.when(j != loaded_r[0])
+                    def _():
+                        pltpu.make_async_copy(
+                            fm.at[j, pl.ds(sy, RS3), pl.ds(sx, CS3), :],
+                            win.at[base + q],
+                            wsem.at[li, base + q],
+                        ).start()
+
+        @pl.when(ng > 0)
+        def _():
+            issue(0)
+
+        def body(g, _):
+            base = (g % 2) * G4
+            e0 = g * G4
+            for li, win in enumerate((win1_r, win2_r)):
+                for q in range(G4):  # consume group g's copies
+                    pltpu.make_async_copy(
+                        win.at[base + q], win.at[base + q], wsem.at[li, base + q]
+                    ).wait()
+
+            @pl.when(g + 1 < ng)
+            def _():
+                issue(g + 1)
+
+            # group stencil rows r = q * P2 + p  <->  coeff rows
+            # (e0 + q) * P2 + p of the flat [EB*P2, 20] coefficient block
+            r0 = e0 * P2
+            for li, (win, co_r) in enumerate(((win1_r, co1_r), (win2_r, co2_r))):
+                for q in range(G4):  # MXU while group g+1's DMAs fly
+                    res_r[q * P2:(q + 1) * P2, :] = jax.lax.dot_general(
+                        f1_r[e0 + q], win[base + q].reshape(SW, C),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [P2, SW]
+
+                # rows: 9 merged taps (one-hot over dy x y-bilinear)
+                tmp_r[:] = jnp.zeros_like(tmp_r)
+                for a in range(9):
+                    cR = co_r[pl.ds(r0, GP), a:a + 1].astype(jnp.float32)
+                    tmp_r[:] += cR * res_r[:, a * CS3:a * CS3 + 184]
+                # cols, split radix: dxw = 4h + l
+                sA_r[:] = jnp.zeros_like(sA_r)
+                for l in range(4):
+                    cl = co_r[pl.ds(r0, GP), 10 + l:11 + l].astype(jnp.float32)
+                    sA_r[:] += cl * tmp_r[:, l:l + 181]
+                sB_r[:] = jnp.zeros_like(sB_r)
+                for h in range(4):
+                    ch = co_r[pl.ds(r0, GP), 14 + h:15 + h].astype(jnp.float32)
+                    sB_r[:] += ch * sA_r[:, 4 * h:4 * h + 169]
+                b0 = co_r[pl.ds(r0, GP), 18:19].astype(jnp.float32)
+                b1 = co_r[pl.ds(r0, GP), 19:20].astype(jnp.float32)
+                sC_r[:] = b0 * sB_r[:, :W7] + b1 * sB_r[:, 1:W7 + 1]
+
+                for q in range(G4):
+                    out_r[e0 + q, :, li * W7:(li + 1) * W7] = (
+                        sC_r[q * P2:(q + 1) * P2, :].astype(out_r.dtype))
+            return 0
+
+        jax.lax.fori_loop(0, ng, body, 0)
+
+    return kernel
+
+
+def _level_coeffs(cs, vs, radius: int, H2: int, W2: int, W2a: int):
+    """Per-(edge, pixel) selection/bilinear coefficients + superwindow
+    corners for one level (XLA side; see _make_kernel_v4 layout)."""
+    D = 2 * radius + 2
+    P2 = cs.shape[1]
+    c = P2 // 2
+    x = cs[..., 0]
+    y = cs[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dxf = (x - x0).astype(jnp.float32)
+    dyf = (y - y0).astype(jnp.float32)
+    sy = y0.astype(jnp.int32) - radius
+    sx = x0.astype(jnp.int32) - radius
+
+    syc = jnp.clip(sy[:, c] - 3, -16, H2)
+    sxc = (jnp.clip(sx[:, c] - 3, -16, W2a) + 16) // 8 * 8 - 16
+    dy = jnp.clip(sy - syc[:, None], 0, RS3 - 9)
+    dxw = jnp.clip(sx - sxc[:, None], 0, CS3 - 9)
+
+    vp = (vs[:, None] & (sy >= -D) & (sy <= H2) & (sx >= -D) & (sx <= W2))
+    vf = vp.astype(jnp.float32)
+
+    ar = jnp.arange(10, dtype=jnp.int32)  # [:, 9] pad: kernel taps 0..8
+    cR = ((ar == dy[..., None]) * (1.0 - dyf[..., None])
+          + (ar == dy[..., None] + 1) * dyf[..., None]).astype(jnp.float32)
+    lo = dxw % 4
+    hi = dxw // 4
+    a4 = jnp.arange(4, dtype=jnp.int32)
+    clo = (a4 == lo[..., None]).astype(jnp.float32)
+    chi = (a4 == hi[..., None]).astype(jnp.float32)
+    bx = jnp.stack([(1.0 - dxf) * vf, dxf * vf], axis=-1)
+    co = jnp.concatenate([cR, clo, chi, bx], axis=-1)  # [E, P2, 20]
+    return co.reshape(-1, 20).astype(jnp.bfloat16), syc, sxc
+
+
+@partial(jax.jit, static_argnames=("radius", "interpret"))
+def _corr_features_v4(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
+                      radius: int = 3, interpret: bool = False,
+                      jj_order=None, jj_inv=None):
+    """Both-level fused correlation features, canonical layout
+    [E, P2, 2*D*D] bf16 (see module docstring for the kernel design)."""
+    assert radius == 3, "v4 kernel geometry is built for CORR_RADIUS=3"
+    E = coords.shape[0]
+    Np, C, P, _ = gmap.shape
+    P2 = P * P
+    D = 2 * radius + 2
+    mem, H2, W2, _ = fmap1.shape
+    H4, W4 = fmap2.shape[1:3]
+
+    Ep = -(-E // EB) * EB
+    padE = Ep - E
+    jj_p = jnp.pad(jj1, (0, padE))
+    valid_p = jnp.pad(valid, (0, padE))
+    ii_p = jnp.pad(ii1, (0, padE))
+    cs_p = jnp.pad(coords.reshape(E, P2, 2), ((0, padE), (0, 0), (0, 0)))
+
+    if jj_order is not None and jj_inv is not None and padE == 0:
+        order = jj_order.astype(jnp.int32)
+        inv = jj_inv.astype(jnp.int32)
+    else:
+        key = jnp.where(valid_p, jj_p, jnp.int32(2 ** 30))
+        order = jnp.argsort(key)
+        inv = jnp.zeros((Ep,), jnp.int32).at[order].set(jnp.arange(Ep, dtype=jnp.int32))
+
+    gr = gmap.transpose(0, 2, 3, 1).reshape(Np, P2, C).astype(jnp.bfloat16)
+    f1 = gr[ii_p[order]]
+    cs = cs_p[order]
+    vs = valid_p[order]
+    maxj = jnp.max(jnp.where(valid, jj1, 0))
+    jjk = jnp.where(vs, jj_p[order], maxj).astype(jnp.int32)
+
+    W2a = -(-W2 // 8) * 8
+    W4a = -(-W4 // 8) * 8
+    # zero-pad the maps in HBM so cache coords == padded-frame coords
+    # (same convention as _corr_level_v3)
+    f1m = jnp.pad(fmap1.astype(jnp.bfloat16),
+                  ((0, 0), (16, 16), (16, W2a - W2 + 24), (0, 0)))
+    f2m = jnp.pad(fmap2.astype(jnp.bfloat16),
+                  ((0, 0), (16, 16), (16, W4a - W4 + 24), (0, 0)))
+
+    co1, syc1, sxc1 = _level_coeffs(cs, vs, radius, H2, W2, W2a)
+    co2, syc2, sxc2 = _level_coeffs(cs / 4.0, vs, radius, H4, W4, W4a)
+
+    grid = (Ep // EB,)
+    smem1 = lambda: pl.BlockSpec((1, EB), lambda i: (0, i), memory_space=pltpu.SMEM)
+    co_spec = pl.BlockSpec((EB * P2, 20), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    GP = G4 * P2
+    wide = pl.pallas_call(
+        _make_kernel_v4(H2, W2a, H4, W4a, C, P2),
+        grid=grid,
+        in_specs=[
+            smem1(),  # jj
+            smem1(), smem1(),  # level-1 superwindow corners (cache coords)
+            smem1(), smem1(),  # level-2 superwindow corners
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((EB, P2, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            co_spec,  # level-1 coefficients
+            co_spec,  # level-2 coefficients
+            pl.BlockSpec(memory_space=pltpu.ANY),  # fmap1 (HBM, padded)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # fmap2 (HBM, padded)
+        ],
+        out_specs=pl.BlockSpec((EB, P2, 2 * W7), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Ep, P2, 2 * W7), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((H2 + 32, W2a + 40, C), jnp.bfloat16),  # frame cache L1
+            pltpu.VMEM((H4 + 32, W4a + 40, C), jnp.bfloat16),  # frame cache L2
+            pltpu.VMEM((2 * G4, RS3, CS3, C), jnp.bfloat16),   # win ping-pong L1
+            pltpu.VMEM((2 * G4, RS3, CS3, C), jnp.bfloat16),   # win ping-pong L2
+            pltpu.VMEM((GP, RS3 * CS3), jnp.float32),          # group dot results
+            pltpu.VMEM((GP, 184), jnp.float32),                # row-stage
+            pltpu.VMEM((GP, 181), jnp.float32),                # col lo-stage
+            pltpu.VMEM((GP, 169), jnp.float32),                # col hi-stage
+            pltpu.VMEM((GP, W7), jnp.float32),                 # x-bilinear
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2 * G4)),
+        ],
+        interpret=interpret,
+    )(jjk[None], (syc1 + 16)[None], (sxc1 + 16)[None],
+      (syc2 + 16)[None], (sxc2 + 16)[None],
+      jnp.sum(vs).astype(jnp.int32)[None, None], f1, co1, co2, f1m, f2m)
+
+    # compaction to canonical: [Ep, P2, 2, 7, 24] -> keep 7 cols, pad the
+    # zero last row/col -> [Ep, P2, 2*64] (level-major, matching the
+    # XLA path's concat), then unsort
+    Dm1 = D - 1
+    o = wide.reshape(Ep, P2, 2, Dm1, CS3)[..., :Dm1]
+    o = jnp.pad(o, ((0, 0), (0, 0), (0, 0), (0, 1), (0, 1)))
+    return o.reshape(Ep, P2, 2 * D * D)[inv][:E]
+
+
+def corr_features_pallas_fused(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
+                               radius: int = 3, interpret: bool = False,
+                               jj_order=None, jj_inv=None):
+    """v4 kernel: both pyramid levels + fused selection/bilinear
+    epilogue in one Pallas pass (see block comment above)."""
+    return _corr_features_v4(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
+                             radius=radius, interpret=interpret,
+                             jj_order=jj_order, jj_inv=jj_inv)
 
 
 @partial(jax.jit, static_argnames=("radius", "interpret", "level_fn"))

@@ -18,6 +18,7 @@ import numpy as np
 
 from dpvo_tpu.config import Config
 from dpvo_tpu.lie import se3
+from dpvo_tpu.ops.corr_pallas import corr_sort_order
 from dpvo_tpu.runtime.state import VOState, make_state
 from dpvo_tpu.runtime.steps import StepFunctions
 from dpvo_tpu.runtime.topology import EdgeSet, Topology
@@ -295,7 +296,9 @@ class DPVO:
         # exempt from window retirement and can reference old patches, so
         # unique(kk) can exceed M_OPT_MAX — retire edges on the oldest
         # patches into the inactive store first (global BA still sees them)
-        uniq_after = np.unique(np.concatenate([self.topo.kk, kk_new]))
+        from dpvo_tpu.runtime.topology import dense_rank, pair_rank
+
+        uniq_after = dense_rank(np.concatenate([self.topo.kk, kk_new]))[0]
         over = len(uniq_after) - cfg.M_OPT_MAX
         if over > 0:
             drop = uniq_after[:over]  # sorted ascending = oldest patches
@@ -350,12 +353,11 @@ class DPVO:
 
         ix, jx, hp, hn = _neighbors(topo.kk, topo.jj)
         d2p = np.full(cfg.M_OPT_MAX, cfg.BUFFER_SIZE * M, np.int64)
-        uniq, kk_seg = np.unique(topo.kk, return_inverse=True)
+        uniq, kk_seg = dense_rank(topo.kk)
         assert len(uniq) <= cfg.M_OPT_MAX, (len(uniq), cfg.M_OPT_MAX)
         d2p[: len(uniq)] = uniq
-        # same pair hash + bound as topology.edge_set (a narrower
-        # multiplier would silently merge SoftAgg groups at BUFFER_SIZE>2048)
-        _, ij_seg = np.unique(topo.ii * np.int64(1 << 20) + topo.jj, return_inverse=True)
+        # same sorted-pair grouping as topology.edge_set
+        ij_seg = pair_rank(topo.ii, topo.jj)
         assert len(ij_seg) == 0 or ij_seg.max() < 2048, ij_seg.max()
 
         def padE(a, dt):
@@ -365,13 +367,7 @@ class DPVO:
 
         valid = np.zeros(E, np.uint8)
         valid[:Ecur] = 1
-        # valid-first jj-slot sort for the correlation kernel — must
-        # mirror _corr_features_common's device key exactly
-        keyjj = np.full(E, 1 << 30, np.int64)
-        keyjj[:Ecur] = topo.jj % cfg.MEM
-        jj_order = np.argsort(keyjj, kind="stable")
-        jj_inv = np.empty(E, np.int64)
-        jj_inv[jj_order] = np.arange(E)
+        jj_order, jj_inv = corr_sort_order(topo.jj, Ecur, E, cfg.MEM)
         buf = self.steps.pack_frame(
             self._framebufs[E], padE(topo.kk, np.int32), padE(topo.jj, np.uint16),
             padE(ix, np.uint16), padE(jx, np.uint16), padE(hp, np.uint8),
@@ -506,7 +502,17 @@ class DPVO:
         """Full-history BA over active + inactive edges (ref dpvo.py:695-716)."""
         cfg = self.cfg
         ges, pos, ninac = self.topo.global_edge_set()
-        self.state, _ = self.steps.normalize(self.state, jnp.int32(self.n), jnp.int32(self.m))
+        self.state, s_norm = self.steps.normalize(self.state, jnp.int32(self.n), jnp.int32(self.m))
+        # observability for the [0.25, 4] gauge-rescale clamp (ADVICE r4):
+        # sustained saturation = the fat-tail weakly-constrained-depth
+        # problem PARITY.md documents, and should be visible, not silent
+        s_norm = float(s_norm)
+        if s_norm <= 0.2501 or s_norm >= 3.999:
+            self._norm_clamp_hits = getattr(self, "_norm_clamp_hits", 0) + 1
+            if self._norm_clamp_hits in (1, 10, 100):
+                print(f"warning: normalize gauge rescale clamped (s={s_norm:.3g}, "
+                      f"hit #{self._norm_clamp_hits}) — depth distribution has a "
+                      "heavy tail; trajectory scale may drift")
         E = ges["count"]
         t0 = int(min(ges["ii"][:E].min(), self.n - 1)) if E else 0
         # the reference frees every pose from min(ii) (ref dpvo.py:710-714);

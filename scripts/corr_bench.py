@@ -79,6 +79,7 @@ def main():
         "pallas": cp.corr_features_pallas,
         "pallas_sw": cp.corr_features_pallas_sw,
         "pallas_dma": cp.corr_features_pallas_dma,
+        "pallas_fused": cp.corr_features_pallas_fused,
         "nokern": lambda *a, **k: cp._corr_features_common(*a, **k, level_fn=cp._corr_level_nokern),
         "xla": corr_features_xla,
     }

@@ -179,3 +179,23 @@ def test_spd_solve_matches_cholesky_interpret():
     g = jax.grad(lambda yy: jnp.sum(spd_solve(S, yy, interpret=True)))(y)
     want_g = np.linalg.solve(np.asarray(S).T, np.ones(n))
     np.testing.assert_allclose(np.asarray(g), want_g, rtol=2e-3, atol=2e-3)
+
+
+def test_segment_sum_sorted_matches_onehot_interpret():
+    """ADVICE r4: the blocked sorted segment-sum kernel (TPU-only call
+    site in ba/solver.py) vs the dense one-hot reference, in interpret
+    mode — so the numerics-critical kernel has CI coverage off-TPU."""
+    from dpvo_tpu.ba.segsum_pallas import EB, segment_sum_sorted
+
+    rng = np.random.default_rng(11)
+    E, K, Md = 2 * EB, 20, 40
+    # sorted DENSE ids (every id in [0, Md) present): the kernel's
+    # contract — a sorted EB block spans <= EB distinct ids
+    kd = np.sort(np.concatenate([np.arange(Md), rng.integers(0, Md, E - Md)]))
+    payload = rng.standard_normal((E, K)).astype(np.float32)
+
+    got = np.asarray(segment_sum_sorted(
+        jnp.asarray(payload), jnp.asarray(kd, jnp.int32), Md=Md, interpret=True))
+    oh = (kd[:, None] == np.arange(Md)[None, :]).astype(np.float32)
+    want = oh.T @ payload
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -263,3 +263,31 @@ def test_corr_features_pallas_dma_matches_xla_interpret():
                                               valid, interpret=True), np.float32)
     assert got.shape == want.shape == (E, 9, 128)
     np.testing.assert_allclose(got, want, atol=0.5, rtol=0.06)
+
+
+def test_corr_sort_order_contract():
+    """The host-shipped jj sort (ops/corr_pallas.corr_sort_order, built
+    in DPVO._fused_frame) must mirror the device-side key in
+    _corr_features_common EXACTLY: valid-first, stable by jj % mem,
+    inverse is a true inverse. ADVICE r4 flagged this cross-module
+    coupling as assertion-free."""
+    import numpy as np
+
+    from dpvo_tpu.ops.corr_pallas import corr_sort_order
+
+    rng = np.random.default_rng(3)
+    mem, E, E_cap = 32, 300, 384
+    jj = rng.integers(0, 4096, E)
+    order, inv = corr_sort_order(jj, E, E_cap, mem)
+
+    # device-side formulation (jnp.argsort is stable)
+    jj1 = np.zeros(E_cap, np.int64)
+    jj1[:E] = jj % mem
+    valid = np.zeros(E_cap, bool)
+    valid[:E] = True
+    key = np.where(valid, jj1, 1 << 30)
+    dev_order = np.asarray(jnp.argsort(jnp.asarray(key)))
+    np.testing.assert_array_equal(order, dev_order)
+    # inverse really inverts; valid edges precede invalid ones
+    np.testing.assert_array_equal(order[inv], np.arange(E_cap))
+    assert valid[order][:E].all() and not valid[order][E:].any()
