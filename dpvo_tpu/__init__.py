@@ -33,8 +33,31 @@ if not _os.environ.get("DPVO_NO_COMPILE_CACHE"):
     # re-run) hit warm executables instead of recompiling.
     import jax as _jax
 
-    _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                             _os.path.expanduser("~/.cache/dpvo_tpu_xla"))
+    # Fingerprint the cache dir by host CPU: XLA:CPU AOT executables
+    # bake in the compile machine's ISA features, and loading an entry
+    # compiled on a different machine spams machine-feature-mismatch
+    # errors ("could lead to execution errors such as SIGILL") — the
+    # round-3/4 multichip artifacts carried pages of it. A per-machine
+    # subdirectory makes stale cross-machine entries unreachable.
+    def _host_tag():
+        try:
+            import hashlib
+            import platform
+
+            flags = ""
+            if _os.path.exists("/proc/cpuinfo"):
+                for line in open("/proc/cpuinfo"):
+                    if line.startswith("flags"):
+                        flags = line
+                        break
+            return hashlib.sha1(
+                (platform.machine() + flags).encode()).hexdigest()[:10]
+        except Exception:
+            return "generic"
+
+    _cache = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser(f"~/.cache/dpvo_tpu_xla/{_host_tag()}"))
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -705,19 +705,21 @@ def _corr_level_v3(fmap, f1, cs, jjk, vs, radius: int, interpret: bool):
 # Reference semantics: dpvo/altcorr/correlation_kernel.cu:82-160.
 # ---------------------------------------------------------------------
 
-G4 = 4        # edges per pipeline group (VMEM-bounded: the two
-              # frame caches + 2-level win ping-pong + stencil
-              # scratch must fit the 16 MB scoped-vmem limit)
+G4 = 8        # edges per group: the group dot runs [G4*P2, C] x
+              # [C, G4*SW] — 72 rows fill the MXU far better than
+              # per-edge 9-row dots (and 72 is sublane-aligned)
 W7 = 7 * CS3  # wide output lanes per level (7 u-windows, stride 24)
 
 
 def _make_kernel_v4(H2: int, W2: int, H4: int, W4: int, C: int, P2: int):
     SW = RS3 * CS3
-    GP = G4 * P2  # stencil rows per group
+    GP = G4 * P2          # live stencil rows per group
+    GS = -(-GP // 8) * 8  # row stride, 8-aligned (Mosaic sublane rule)
+    NOSTENCIL = bool(os.environ.get("DPVO_V4_NOSTENCIL"))  # perf bisect
 
     def kernel(jj_s, sy1_s, sx1_s, sy2_s, sx2_s, nv_s, f1_r, co1_r, co2_r,
-               fmap1_r, fmap2_r, out_r, cache1_r, cache2_r, win1_r, win2_r,
-               res_r, tmp_r, sA_r, sB_r, sC_r, loaded_r, csem, wsem):
+               fmap1_r, fmap2_r, out_r, cache1_r, cache2_r,
+               res_r, tmp_r, sA_r, sB_r, sC_r, loaded_r, csem):
         @pl.when(pl.program_id(0) == 0)
         def _():
             loaded_r[0] = -1
@@ -726,101 +728,97 @@ def _make_kernel_v4(H2: int, W2: int, H4: int, W4: int, C: int, P2: int):
         nv = jnp.clip(nv_s[0, 0] - pl.program_id(0) * EB, 0, EB)
         ng = (nv + G4 - 1) // G4
 
-        def issue(g):
-            """Start the 2*G4 window DMAs of group g (both levels).
-            Caller guarantees no window copies are outstanding, so the
-            frame reload on a group's first edge is race-free; mid-group
-            frame boundaries DMA straight from the padded HBM maps."""
-            e0 = g * G4
-            base = (g % 2) * G4
-            jg = jj_s[0, e0]
-
-            @pl.when(jg != loaded_r[0])
-            def _():
-                loaded_r[0] = jg
-                # distinct semaphores per cache: two in-flight copies
-                # signaling one DMA sem can deadlock the waits
-                cp1 = pltpu.make_async_copy(fmap1_r.at[jg], cache1_r, csem.at[0])
-                cp2 = pltpu.make_async_copy(fmap2_r.at[jg], cache2_r, csem.at[1])
-                cp1.start()
-                cp2.start()
-                cp1.wait()
-                cp2.wait()
-
-            for q in range(G4):
-                e = e0 + q
-                j = jj_s[0, e]
-                for li, (sy_s, sx_s, cache, win, fm) in enumerate((
-                        (sy1_s, sx1_s, cache1_r, win1_r, fmap1_r),
-                        (sy2_s, sx2_s, cache2_r, win2_r, fmap2_r))):
-                    sy = sy_s[0, e]
-                    sx = pl.multiple_of(sx_s[0, e], 8)
-
-                    @pl.when(j == loaded_r[0])
-                    def _():
-                        pltpu.make_async_copy(
-                            cache.at[pl.ds(sy, RS3), pl.ds(sx, CS3), :],
-                            win.at[base + q],
-                            wsem.at[li, base + q],
-                        ).start()
-
-                    @pl.when(j != loaded_r[0])
-                    def _():
-                        pltpu.make_async_copy(
-                            fm.at[j, pl.ds(sy, RS3), pl.ds(sx, CS3), :],
-                            win.at[base + q],
-                            wsem.at[li, base + q],
-                        ).start()
-
-        @pl.when(ng > 0)
-        def _():
-            issue(0)
+        # static block-diagonal row masks: rows q*P2..(q+1)*P2 of the
+        # group-flat dot result belong to edge q
+        riota = jax.lax.broadcasted_iota(jnp.int32, (GS, 1), 0)
 
         def body(g, _):
-            base = (g % 2) * G4
             e0 = g * G4
-            for li, win in enumerate((win1_r, win2_r)):
-                for q in range(G4):  # consume group g's copies
-                    pltpu.make_async_copy(
-                        win.at[base + q], win.at[base + q], wsem.at[li, base + q]
-                    ).wait()
+            # frame caches follow the jj-sorted edge stream (~22 reloads
+            # per level per frame); windows are plain VECTOR loads out
+            # of VMEM — the round-5 bisect measured the per-edge window
+            # DMA + in-kernel-stencil combination serializing to
+            # ~20 us/edge, while a [RS3, CS3, C] slice load is ~50 vregs.
+            # Reload-then-load runs per edge so a mid-group frame
+            # boundary reads each edge's own frame.
+            wins = ([], [])
+            for q in range(G4):
+                j = jj_s[0, e0 + q]
 
-            @pl.when(g + 1 < ng)
-            def _():
-                issue(g + 1)
+                @pl.when(j != loaded_r[0])
+                def _():
+                    loaded_r[0] = j
+                    cp1 = pltpu.make_async_copy(fmap1_r.at[j], cache1_r,
+                                                csem.at[0])
+                    cp2 = pltpu.make_async_copy(fmap2_r.at[j], cache2_r,
+                                                csem.at[1])
+                    cp1.start()
+                    cp2.start()
+                    cp1.wait()
+                    cp2.wait()
 
-            # group stencil rows r = q * P2 + p  <->  coeff rows
-            # (e0 + q) * P2 + p of the flat [EB*P2, 20] coefficient block
-            r0 = e0 * P2
-            for li, (win, co_r) in enumerate(((win1_r, co1_r), (win2_r, co2_r))):
-                for q in range(G4):  # MXU while group g+1's DMAs fly
-                    res_r[q * P2:(q + 1) * P2, :] = jax.lax.dot_general(
-                        f1_r[e0 + q], win[base + q].reshape(SW, C),
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # [P2, SW]
+                for li, (cache, sy_s, sx_s) in enumerate((
+                        (cache1_r, sy1_s, sx1_s), (cache2_r, sy2_s, sx2_s))):
+                    wins[li].append(cache[
+                        pl.ds(sy_s[0, e0 + q], RS3),
+                        pl.ds(pl.multiple_of(sx_s[0, e0 + q], 8), CS3),
+                        :].reshape(SW, C))
 
-                # rows: 9 merged taps (one-hot over dy x y-bilinear)
-                tmp_r[:] = jnp.zeros_like(tmp_r)
-                for a in range(9):
-                    cR = co_r[pl.ds(r0, GP), a:a + 1].astype(jnp.float32)
-                    tmp_r[:] += cR * res_r[:, a * CS3:a * CS3 + 184]
-                # cols, split radix: dxw = 4h + l
-                sA_r[:] = jnp.zeros_like(sA_r)
-                for l in range(4):
-                    cl = co_r[pl.ds(r0, GP), 10 + l:11 + l].astype(jnp.float32)
-                    sA_r[:] += cl * tmp_r[:, l:l + 181]
-                sB_r[:] = jnp.zeros_like(sB_r)
-                for h in range(4):
-                    ch = co_r[pl.ds(r0, GP), 14 + h:15 + h].astype(jnp.float32)
-                    sB_r[:] += ch * sA_r[:, 4 * h:4 * h + 169]
-                b0 = co_r[pl.ds(r0, GP), 18:19].astype(jnp.float32)
-                b1 = co_r[pl.ds(r0, GP), 19:20].astype(jnp.float32)
-                sC_r[:] = b0 * sB_r[:, :W7] + b1 * sB_r[:, 1:W7 + 1]
-
+            f1g = jnp.concatenate([f1_r[e0 + q] for q in range(G4)], axis=0)
+            f1g = jnp.pad(f1g, ((0, GS - GP), (0, 0)))  # zero pad rows
+            r0 = pl.multiple_of(g * GS, 8)  # group-flat row base (coeff/out)
+            for li, co_r in enumerate((co1_r, co2_r)):
+                wing = jnp.concatenate(wins[li], axis=0)
+                # ONE MXU dot per level for the whole group: [GS, C] x
+                # [G4*SW, C]^T (36 result rows utilize the MXU ~4x
+                # better than per-edge 9-row dots); edge q's own-window
+                # block comes off the block diagonal via static lane
+                # slices + a row mask
+                res_big = jax.lax.dot_general(
+                    f1g, wing, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [GS, G4*SW] (pad rows are zero: f1g pad rows are)
+                res = jnp.zeros((GS, SW), jnp.float32)
                 for q in range(G4):
-                    out_r[e0 + q, :, li * W7:(li + 1) * W7] = (
-                        sC_r[q * P2:(q + 1) * P2, :].astype(out_r.dtype))
+                    mask = ((riota >= q * P2) & (riota < (q + 1) * P2)
+                            ).astype(jnp.float32)
+                    res = res + mask * res_big[:, q * SW:(q + 1) * SW]
+                res_r[:] = res
+
+                if NOSTENCIL:
+                    sC_r[:, li * W7:(li + 1) * W7] = (
+                        res_r[:, :W7].astype(sC_r.dtype))
+                    continue
+                # group coefficients loaded ONCE (the dynamic r0 slice
+                # is the expensive part; per-tap lane slices of the
+                # loaded value are cheap selects)
+                cog = co_r[pl.ds(r0, GS), :].astype(jnp.float32)  # [GS, 20]
+                # rows: 9 merged taps (one-hot over dy x y-bilinear)
+                for a in range(9):
+                    t = cog[:, a:a + 1] * res_r[:, a * CS3:a * CS3 + 184]
+                    if a == 0:
+                        tmp_r[:] = t
+                    else:
+                        tmp_r[:] += t
+                # cols, split radix: dxw = 4h + l
+                for l in range(4):
+                    t = cog[:, 10 + l:11 + l] * tmp_r[:, l:l + 181]
+                    if l == 0:
+                        sA_r[:] = t
+                    else:
+                        sA_r[:] += t
+                for h in range(4):
+                    t = cog[:, 14 + h:15 + h] * sA_r[:, 4 * h:4 * h + 169]
+                    if h == 0:
+                        sB_r[:] = t
+                    else:
+                        sB_r[:] += t
+                sC_r[:, li * W7:(li + 1) * W7] = (
+                    cog[:, 18:19] * sB_r[:, :W7]
+                    + cog[:, 19:20] * sB_r[:, 1:W7 + 1]
+                ).astype(sC_r.dtype)
+
+            out_r[pl.ds(r0, GS), :] = sC_r[:]
             return 0
 
         jax.lax.fori_loop(0, ng, body, 0)
@@ -877,6 +875,8 @@ def _corr_features_v4(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
     D = 2 * radius + 2
     mem, H2, W2, _ = fmap1.shape
     H4, W4 = fmap2.shape[1:3]
+    GP = G4 * P2
+    GS = -(-GP // 8) * 8
 
     Ep = -(-E // EB) * EB
     padE = Ep - E
@@ -912,10 +912,40 @@ def _corr_features_v4(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
     co1, syc1, sxc1 = _level_coeffs(cs, vs, radius, H2, W2, W2a)
     co2, syc2, sxc2 = _level_coeffs(cs / 4.0, vs, radius, H4, W4, W4a)
 
+    if os.environ.get("DPVO_CORR_CLAMP_CHECK"):
+        # ADVICE r4: observability for the +-3 px per-pixel clamp — a
+        # nonzero rate means edges with extreme scale change (inverse
+        # depth ratio >~3x) are sampling clamped windows and the exact
+        # 'pallas' impl should be considered for this workload
+        for li, (csl, Hl, Wl, Wal) in ((1, (cs, H2, W2, W2a)),
+                                       (2, (cs / 4.0, H4, W4, W4a))):
+            sy = jnp.floor(csl[..., 1]).astype(jnp.int32) - radius
+            sx = jnp.floor(csl[..., 0]).astype(jnp.int32) - radius
+            c = P2 // 2
+            syc = jnp.clip(sy[:, c] - 3, -16, Hl)
+            sxc = (jnp.clip(sx[:, c] - 3, -16, Wal) + 16) // 8 * 8 - 16
+            dy0 = sy - syc[:, None]
+            dx0 = sx - sxc[:, None]
+            sat = ((dy0 < 0) | (dy0 > RS3 - 9) | (dx0 < 0)
+                   | (dx0 > CS3 - 9)) & vs[:, None]
+            jax.debug.print(
+                "corr clamp check L{l}: {n} of {t} valid pixels saturated",
+                l=li, n=jnp.sum(sat), t=jnp.sum(vs) * P2)
+
+    def group_pad(co):
+        # [Ep*P2, 20] -> [Ep//G4, GP, 20] -> pad rows to the 8-aligned
+        # group stride GS -> flat [Ep//G4*GS, 20] (kernel indexes g*GS)
+        co = co.reshape(Ep // G4, GP, 20)
+        co = jnp.pad(co, ((0, 0), (0, GS - GP), (0, 0)))
+        return co.reshape(Ep // G4 * GS, 20)
+
+    co1 = group_pad(co1)
+    co2 = group_pad(co2)
+
     grid = (Ep // EB,)
+    GB = EB // G4 * GS  # group-flat rows per block
     smem1 = lambda: pl.BlockSpec((1, EB), lambda i: (0, i), memory_space=pltpu.SMEM)
-    co_spec = pl.BlockSpec((EB * P2, 20), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    GP = G4 * P2
+    co_spec = pl.BlockSpec((GB, 20), lambda i: (i, 0), memory_space=pltpu.VMEM)
     wide = pl.pallas_call(
         _make_kernel_v4(H2, W2a, H4, W4a, C, P2),
         grid=grid,
@@ -930,33 +960,31 @@ def _corr_features_v4(gmap, fmap1, fmap2, coords, ii1, jj1, valid,
             pl.BlockSpec(memory_space=pltpu.ANY),  # fmap1 (HBM, padded)
             pl.BlockSpec(memory_space=pltpu.ANY),  # fmap2 (HBM, padded)
         ],
-        out_specs=pl.BlockSpec((EB, P2, 2 * W7), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((GB, 2 * W7), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Ep, P2, 2 * W7), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((Ep // G4 * GS, 2 * W7), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((H2 + 32, W2a + 40, C), jnp.bfloat16),  # frame cache L1
             pltpu.VMEM((H4 + 32, W4a + 40, C), jnp.bfloat16),  # frame cache L2
-            pltpu.VMEM((2 * G4, RS3, CS3, C), jnp.bfloat16),   # win ping-pong L1
-            pltpu.VMEM((2 * G4, RS3, CS3, C), jnp.bfloat16),   # win ping-pong L2
-            pltpu.VMEM((GP, RS3 * CS3), jnp.float32),          # group dot results
-            pltpu.VMEM((GP, 184), jnp.float32),                # row-stage
-            pltpu.VMEM((GP, 181), jnp.float32),                # col lo-stage
-            pltpu.VMEM((GP, 169), jnp.float32),                # col hi-stage
-            pltpu.VMEM((GP, W7), jnp.float32),                 # x-bilinear
+            pltpu.VMEM((GS, RS3 * CS3), jnp.float32),          # group dot results
+            pltpu.VMEM((GS, 184), jnp.float32),                # row-stage
+            pltpu.VMEM((GS, 181), jnp.float32),                # col lo-stage
+            pltpu.VMEM((GS, 169), jnp.float32),                # col hi-stage
+            pltpu.VMEM((GS, 2 * W7), jnp.bfloat16),            # x-bilinear, 2 levels
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, 2 * G4)),
         ],
         interpret=interpret,
     )(jjk[None], (syc1 + 16)[None], (sxc1 + 16)[None],
       (syc2 + 16)[None], (sxc2 + 16)[None],
       jnp.sum(vs).astype(jnp.int32)[None, None], f1, co1, co2, f1m, f2m)
 
-    # compaction to canonical: [Ep, P2, 2, 7, 24] -> keep 7 cols, pad the
-    # zero last row/col -> [Ep, P2, 2*64] (level-major, matching the
-    # XLA path's concat), then unsort
+    # compaction to canonical: drop the group pad rows, then
+    # [Ep, P2, 2, 7, 24] -> keep 7 cols, pad the zero last row/col ->
+    # [Ep, P2, 2*64] (level-major, matching the XLA path), then unsort
     Dm1 = D - 1
-    o = wide.reshape(Ep, P2, 2, Dm1, CS3)[..., :Dm1]
+    o = wide.reshape(Ep // G4, GS, 2 * W7)[:, :GP]
+    o = o.reshape(Ep, P2, 2, Dm1, CS3)[..., :Dm1]
     o = jnp.pad(o, ((0, 0), (0, 0), (0, 0), (0, 1), (0, 1)))
     return o.reshape(Ep, P2, 2 * D * D)[inv][:E]
 

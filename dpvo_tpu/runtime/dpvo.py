@@ -98,8 +98,9 @@ class DPVO:
                                    # lag that many frames and the
                                    # device->host round trips hide behind
                                    # device compute
-        self._identity_ops = np.zeros((3, cfg.E_MAX), np.int32)
-        self._identity_ops[0] = np.arange(cfg.E_MAX)
+        # pending payload maintenance ships as removal/store bitmasks
+        # over pre-removal edge rows (+ scalars); device derives the
+        # compaction perm / store src / ring dst (steps.unpack_frame)
         # fused-step edge-capacity buckets (config.E_BUCKETS): one packed
         # buffer + one compiled program per capacity, allocated lazily
         if cfg.E_BUCKETS == "off":
@@ -332,13 +333,15 @@ class DPVO:
 
         # fold any pending payload maintenance into this call
         if self._pending is not None:
-            ops, k_cull, n_after, nstore = self._pending
+            rm_mask, st_mask, k_cull, n_after, nstore, head0 = self._pending
             self._pending = None
         else:
-            ops, k_cull, n_after, nstore = self._identity_ops, -1, 0, 0
+            rm_mask, st_mask, k_cull, n_after, nstore, head0 = (
+                None, None, -1, 0, 0, 0)
         meta[3] = k_cull
         meta[16] = n_after
         meta[17] = nstore
+        meta[19] = head0
 
         # topology rows, padded to the chosen capacity bucket (host numpy)
         topo = self.topo
@@ -365,18 +368,19 @@ class DPVO:
             out[:Ecur] = a
             return out
 
-        valid = np.zeros(E, np.uint8)
-        valid[:Ecur] = 1
-        jj_order, jj_inv = corr_sort_order(topo.jj, Ecur, E, cfg.MEM)
+        meta[18] = Ecur
+        jj_order, _ = corr_sort_order(topo.jj, Ecur, E, cfg.MEM)
+        Eb = -(-E // 8)
+        z = np.zeros(Eb, np.uint8)
+        rm_b = np.packbits(rm_mask[:E]) if rm_mask is not None else z
+        st_b = np.packbits(st_mask[:E]) if st_mask is not None else z
         buf = self.steps.pack_frame(
-            self._framebufs[E], padE(topo.kk, np.int32), padE(topo.jj, np.uint16),
-            padE(ix, np.uint16), padE(jx, np.uint16), padE(hp, np.uint8),
-            padE(hn, np.uint8), valid, d2p, padE(kk_seg, np.uint16),
-            padE(ij_seg, np.uint16), meta,
-            ops[0][:E].astype(np.uint16), ops[1][:E].astype(np.uint16),
-            ops[2][:E].astype(np.uint16),
+            self._framebufs[E], padE(topo.jj, np.uint16),
+            padE(ix, np.uint16), padE(jx, np.uint16), d2p,
+            padE(kk_seg, np.uint16), padE(ij_seg, np.uint16), meta,
+            rm_b, st_b,
             np.argsort(padE(kk_seg, np.int32), kind="stable").astype(np.uint16),
-            jj_order.astype(np.uint16), jj_inv.astype(np.uint16),
+            jj_order.astype(np.uint16),
             E_cap=E,
         )
         _t0 = _time.perf_counter()
@@ -577,13 +581,13 @@ class DPVO:
         """
         cfg = self.cfg
         assert self._pending is None
-        # the deferred compaction perm references PRE-removal rows: the
+        # the deferred removal bitmasks reference PRE-removal rows: the
         # next fused step's capacity bucket must cover them
-        pend_cap = len(self.topo.ii)
+        E0 = len(self.topo.ii)
         k_cull, n_after = -1, 0
-        perm_total = None
-        src_old = np.zeros(0, np.int64)
-        dst = np.zeros(0, np.int64)
+        rm_total = np.zeros(E0, bool)   # removed rows (original indexing)
+        st_total = np.zeros(E0, bool)   # subset stored into the ring
+        keep1 = np.arange(E0)           # orig index of each post-cull row
 
         if m < cfg.KEYFRAME_THRESH:
             k = self.n - cfg.KEYFRAME_INDEX
@@ -598,10 +602,12 @@ class DPVO:
 
             # drop edges touching frame k (no store, ref :643-656)
             rm = (self.topo.ii == k) | (self.topo.jj == k)
-            perm_total, _, _ = self.topo.remove(rm, store=False)
+            self.topo.remove(rm, store=False)
             self.topo.shift_frame(k)
             del self.tstamps[k]
             k_cull, n_after = k, self.n
+            rm_total = rm.copy()
+            keep1 = np.nonzero(~rm)[0]
             if self.long_term_lc is not None:  # ref dpvo.py:675-676
                 self.long_term_lc.keyframe(k)
 
@@ -612,32 +618,36 @@ class DPVO:
                 self.topo.jj > (self.n - cfg.OPTIMIZATION_WINDOW)
             )
             to_remove = to_remove & ~lc
+        nstore, head0 = 0, self.topo.inac_head
         if to_remove.any():
-            perm2, src2, dst2 = self.topo.remove(to_remove, store=True)
-            if perm_total is None:
-                perm_total, src_old = perm2, src2
-            else:
-                src_old = perm_total[src2]
-                perm_total = perm_total[perm2]
-            dst = dst2
+            self.topo.remove(to_remove, store=True)
+            orig = keep1[to_remove]
+            rm_total[orig] = True
+            st_total[orig] = True
+            nstore = int(to_remove.sum())
 
-        if k_cull < 0 and perm_total is None:
+        if k_cull < 0 and not rm_total.any():
             return
-        ops = np.zeros((3, cfg.E_MAX), np.int32)
-        ops[0] = np.arange(cfg.E_MAX) if perm_total is None else perm_total
-        ops[1, : len(src_old)] = src_old
-        ops[2, : len(dst)] = dst
-        self._pending = (ops, k_cull, n_after, len(src_old))
-        self._pending_cap = pend_cap
+        self._pending = (rm_total, st_total, k_cull, n_after, nstore, head0)
+        self._pending_cap = E0
 
     def _apply_pending(self):
-        """Apply deferred payload maintenance as a standalone call."""
+        """Apply deferred payload maintenance as a standalone call
+        (slow path: host derives the perm/src/dst the fused step would
+        have derived from the bitmasks on device)."""
         if self._pending is None:
             return
-        ops, k_cull, n_after, nstore = self._pending
+        rm, st, k_cull, n_after, nstore, head0 = self._pending
         self._pending = None
+        E = self.cfg.E_MAX
+        keep_idx = np.nonzero(~rm)[0]
+        perm = np.zeros(E, np.int64)
+        perm[: len(keep_idx)] = keep_idx
+        src = np.zeros(E, np.int64)
+        src[:nstore] = np.nonzero(st)[0]
+        dst = (head0 + np.arange(E)) % self.cfg.E_INAC_MAX
         self.state = self.steps.maintenance(
-            self.state, jnp.asarray(ops[0]), jnp.asarray(ops[1]), jnp.asarray(ops[2]),
+            self.state, jnp.asarray(perm), jnp.asarray(src), jnp.asarray(dst),
             jnp.int32(k_cull), jnp.int32(n_after), jnp.int32(nstore),
         )
 

@@ -26,6 +26,7 @@ from dpvo_tpu.ops.corr import corr_features_xla
 from dpvo_tpu.ops.corr_pallas import (
     corr_features_pallas,
     corr_features_pallas_dma,
+    corr_features_pallas_fused,
     corr_features_pallas_sw,
 )
 from dpvo_tpu.runtime.state import VOState
@@ -55,11 +56,12 @@ class StepFunctions:
         self.pmem = cfg.MAX_EDGE_AGE if cfg.LOOP_CLOSURE else cfg.PMEM
         impl = cfg.CORR_IMPL
         if impl == "auto":
-            # pallas_dma: DMA-pipelined superwindow kernel — exact for
-            # real patch geometry (per-pixel windows within +-3 px of
-            # the patch center); CORR_IMPL=pallas forces the
-            # per-pixel-exact kernel (adversarial coords), ~1.5x slower
-            impl = "pallas_dma" if jax.default_backend() == "tpu" else "xla"
+            # pallas_fused: both pyramid levels + selection/bilinear
+            # epilogue fused into ONE kernel pass — exact for real patch
+            # geometry (per-pixel windows within +-3 px of the patch
+            # center; DPVO_CORR_CLAMP_CHECK=1 prints the clamp rate);
+            # CORR_IMPL=pallas forces the per-pixel-exact kernel
+            impl = "pallas_fused" if jax.default_backend() == "tpu" else "xla"
         self.corr_impl = impl
 
         self.patchify = jax.jit(self._patchify)
@@ -122,31 +124,40 @@ class StepFunctions:
         return fn
 
     def _frame_layout(self, E: int):
+        """Per-edge payload: 14.25 B/edge. Everything else the step
+        needs is DERIVED on device from these rows + meta scalars
+        (round-5 diet, ~2x: the axon tunnel is bandwidth-bound at
+        ~25 MB/s, so every byte/edge costs ~2 ms/frame of link time at
+        the steady-state bucket):
+          kk       = d2p[kk_seg]           (d2p rows are sorted uniques)
+          ii, ii1  = kk // M, kk % (M*pmem)
+          valid    = iota < Ecur           (meta scalar)
+          mask_ix  = (ix != iota) & valid  (neighbors self-default)
+          jj_inv   = scatter-inverse of jj_order
+          perm/src/dst (maintenance) = cumsum-compactions of the rm/st
+          bitmasks + ring-slot iota from (inac_head, nstore) scalars
+        Dense group ids (kk_seg/ij_seg) and the two sort orders stay
+        host-computed: deriving them on device costs sorts (~2 ms each
+        at E=49k) vs ~0.3 ms of overlapped transfer."""
         import numpy as np
 
         cfg = self.cfg
         M = cfg.PATCHES_PER_FRAME
         meta_len = 24 + 2 * M
+        Eb = -(-E // 8)  # bitmask bytes
         sections = [
-            ("kk", 4 * E, np.int32),
             ("jj", 2 * E, np.uint16),
             ("ix", 2 * E, np.uint16),
             ("jx", 2 * E, np.uint16),
-            ("flags", E, np.uint8),     # bit0 mask_ix, bit1 mask_jx, bit2 valid
             ("d2p", 4 * cfg.M_OPT_MAX, np.int32),
-            # dense group ids come precomputed from the host (np.unique
-            # inverse) — a device-side searchsorted over E elements costs
-            # several ms on TPU, the u16 rows ~0.1 ms of (overlapped)
-            # transfer
             ("kk_seg", 2 * E, np.uint16),
             ("ij_seg", 2 * E, np.uint16),
             ("meta", 4 * meta_len, np.float32),
-            ("perm", 2 * E, np.uint16),
-            ("src", 2 * E, np.uint16),
-            ("dst", 2 * E, np.uint16),
+            ("rm_bits", Eb, np.uint8),   # edges removed since last frame
+            ("st_bits", Eb, np.uint8),   # subset of removed rows stored
+            #                              into the inactive ring
             ("kd_order", 2 * E, np.uint16),
             ("jj_order", 2 * E, np.uint16),
-            ("jj_inv", 2 * E, np.uint16),
         ]
         layout = {}
         off = 0
@@ -156,14 +167,14 @@ class StepFunctions:
             off += nbytes
         return layout, off
 
-    def pack_frame(self, buf, kk, jj, ix, jx, mask_ix, mask_jx, valid,
-                   d2p, kk_seg, ij_seg, meta, perm, src, dst, kd_order=None,
-                   jj_order=None, jj_inv=None, E_cap: int = None):
+    def pack_frame(self, buf, jj, ix, jx, d2p, kk_seg, ij_seg, meta,
+                   rm_bits, st_bits, kd_order, jj_order, E_cap: int = None):
         """Fill the preallocated uint8 frame buffer (host side). The
         image ships separately so its (much larger) upload can start the
         moment the frame arrives, before the keyframe decision fixes the
         topology sections. Edge-indexed arrays may be shorter than the
-        capacity (sections zero-fill) but never longer."""
+        capacity (sections zero-fill) but never longer. rm/st are
+        np.packbits bitmasks over PRE-removal edge rows."""
         import numpy as np
 
         layout, _ = self.layout_for(E_cap or self.cfg.E_MAX)
@@ -175,34 +186,29 @@ class StepFunctions:
             if a.size < view.size:
                 view[a.size:] = 0
 
-        put("kk", kk)
         put("jj", jj)
         put("ix", ix)
         put("jx", jx)
-        flags = (np.asarray(mask_ix, np.uint8)
-                 | (np.asarray(mask_jx, np.uint8) << 1)
-                 | (np.asarray(valid, np.uint8) << 2))
-        put("flags", flags)
         put("d2p", d2p)
         put("kk_seg", kk_seg)
         put("ij_seg", ij_seg)
         put("meta", meta)
-        put("perm", perm)
-        put("src", src)
-        put("dst", dst)
-        if kd_order is not None:
-            put("kd_order", kd_order)
-        if jj_order is not None:
-            put("jj_order", jj_order)
-            put("jj_inv", jj_inv)
+        put("rm_bits", rm_bits)
+        put("st_bits", st_bits)
+        put("kd_order", kd_order)
+        put("jj_order", jj_order)
         return buf
 
     def unpack_frame(self, buf, E_cap: int = None):
         """Device-side unpack of the topology buffer -> (es, meta, ops).
-        Derives ii / circular slots / segment ids from kk, jj."""
+        Derives everything not shipped (see _frame_layout): kk from the
+        dense2patch table, validity/neighbor masks from scalars, the
+        jj-sort inverse by scatter, and the maintenance perm/src/dst by
+        stable cumsum-compaction of the removal/store bitmasks."""
         cfg = self.cfg
         M = cfg.PATCHES_PER_FRAME
-        layout, _ = self.layout_for(E_cap or cfg.E_MAX)
+        E = E_cap or cfg.E_MAX
+        layout, _ = self.layout_for(E)
 
         def get(name, jdt, width):
             off, nbytes, _ = layout[name]
@@ -211,21 +217,44 @@ class StepFunctions:
                 return raw
             return jax.lax.bitcast_convert_type(raw.reshape(-1, width), jdt)
 
-        kk = get("kk", jnp.int32, 4)
         jj = get("jj", jnp.uint16, 2).astype(jnp.int32)
         ix = get("ix", jnp.uint16, 2).astype(jnp.int32)
         jx = get("jx", jnp.uint16, 2).astype(jnp.int32)
-        flags = get("flags", jnp.uint8, 1)
         d2p = get("d2p", jnp.int32, 4)[: cfg.M_OPT_MAX]
         kk_seg = get("kk_seg", jnp.uint16, 2).astype(jnp.int32)
         ij_seg = get("ij_seg", jnp.uint16, 2).astype(jnp.int32)
         meta = get("meta", jnp.float32, 4)[: 24 + 2 * M]
-        perm = get("perm", jnp.uint16, 2).astype(jnp.int32)
-        src = get("src", jnp.uint16, 2).astype(jnp.int32)
-        dst = get("dst", jnp.uint16, 2).astype(jnp.int32)
+        rm_bits = get("rm_bits", jnp.uint8, 1)
+        st_bits = get("st_bits", jnp.uint8, 1)
         kd_order = get("kd_order", jnp.uint16, 2).astype(jnp.int32)
         jj_order = get("jj_order", jnp.uint16, 2).astype(jnp.int32)
-        jj_inv = get("jj_inv", jnp.uint16, 2).astype(jnp.int32)
+
+        iota = jnp.arange(E, dtype=jnp.int32)
+        n_live = meta[18].astype(jnp.int32)   # live edges AFTER removal
+        valid = iota < n_live
+        kk = d2p[jnp.clip(kk_seg, 0, cfg.M_OPT_MAX - 1)]
+        kk = jnp.where(valid, kk, 0)  # padded rows: patch 0 (as before)
+        jj_inv = jnp.zeros((E,), jnp.int32).at[jj_order].set(iota)
+
+        # maintenance ops from the bitmasks (over PRE-removal rows):
+        # stable compaction perm of kept rows (tail default 0, matching
+        # topology.remove), removed-row sources in original order, ring
+        # destinations from (inac_head, nstore) scalars
+        def unpack_bits(b):
+            shifts = jnp.arange(8, dtype=jnp.uint8)  # packbits is MSB-first
+            return ((b[:, None] >> (7 - shifts)[None, :]) & 1).reshape(-1)[:E] > 0
+
+        rm = unpack_bits(rm_bits)
+        st = unpack_bits(st_bits)
+        keep = ~rm
+        pos_k = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        perm = jnp.zeros((E,), jnp.int32).at[
+            jnp.where(keep, pos_k, E)].set(iota, mode="drop")
+        pos_s = jnp.cumsum(st.astype(jnp.int32)) - 1
+        src = jnp.zeros((E,), jnp.int32).at[
+            jnp.where(st, pos_s, E)].set(iota, mode="drop")
+        head0 = meta[19].astype(jnp.int32)
+        dst = (head0 + iota) % cfg.E_INAC_MAX
 
         ii = kk // M
         es = dict(
@@ -238,9 +267,9 @@ class StepFunctions:
             ij_seg=ij_seg,
             ix=ix,
             jx=jx,
-            mask_ix=(flags & 1) > 0,
-            mask_jx=(flags & 2) > 0,
-            valid=(flags & 4) > 0,
+            mask_ix=(ix != iota) & valid,
+            mask_jx=(jx != iota) & valid,
+            valid=valid,
         )
         es["kd"] = es["kk_seg"]
         es["kd_order"] = kd_order
@@ -495,10 +524,12 @@ class StepFunctions:
             "pallas": corr_features_pallas,
             "pallas_sw": corr_features_pallas_sw,
             "pallas_dma": corr_features_pallas_dma,
+            "pallas_fused": corr_features_pallas_fused,
         }.get(self.corr_impl, corr_features_xla)
         E = coords.shape[0]
         corr_kw = {}
-        if self.corr_impl == "pallas_dma" and es.get("jj_order") is not None:
+        if (self.corr_impl in ("pallas_dma", "pallas_fused")
+                and es.get("jj_order") is not None):
             corr_kw = dict(jj_order=es["jj_order"], jj_inv=es["jj_inv"])
         corr = corr_fn(
             state.gmap, state.fmap1, state.fmap2, coords.astype(jnp.float32),
@@ -659,29 +690,45 @@ class StepFunctions:
     # ---------------- global BA + gauge ----------------
 
     def _normalize(self, state: VOState, n, m) -> VOState:
-        """Scale-gauge fixing before global BA (ref patchgraph.py:93-100)."""
+        """Scale-gauge conditioning guard before global BA.
+
+        DELIBERATE deviation from the reference's unconditional
+        normalize (patchgraph.py:93-100, raw-mean rescale + re-anchor
+        every global-BA round): hysteresis — rescale ONLY when the mean
+        inverse depth has drifted past 2x. Rationale (measured,
+        scripts/lc_ab.py multi-seed grid, round 5): the per-round
+        rescale + re-anchor measurably DEGRADES loop-closure accuracy
+        (median ATE ~2x worse on loopy scenes, occasional divergence) —
+        the BA damping/trust-region constants are parameter-scale
+        sensitive, so thrashing the gauge every round perturbs every
+        subsequent solve — while its only real job is keeping the free
+        monocular scale gauge from drifting to poorly-conditioned
+        extremes (the r4 soak found a 1e13 ratchet, tests/test_soak.py;
+        the [0.25, 4] per-round clamp is kept on top). With hysteresis a
+        drifted gauge is still pulled back to mean 1, but a healthy one
+        is left strictly untouched."""
         M, P = self.cfg.PATCHES_PER_FRAME, self.cfg.P
         pidx = jnp.arange(state.dvec.shape[0])
         pvalid = pidx < m
         d = state.dvec
-        s = jnp.sum(jnp.where(pvalid, d, 0.0)) / jnp.maximum(jnp.sum(pvalid), 1)
-        # Bounded gauge rescale (deviation from the reference's raw mean,
-        # patchgraph.py:98): a fat tail of weakly-constrained inverse
-        # depths can hold the mean >1 across consecutive global-BA
-        # rounds, and since every normalize multiplies translations by s,
-        # an unbounded s ratchets the trajectory scale exponentially over
-        # long loop-closure runs (measured: 250-frame soak reached 1e13
-        # before this clamp; tests/test_soak.py). Sane scenes have
-        # s ~= 1, where this is a no-op.
-        s = jnp.clip(s, 0.25, 4.0)
+        s_raw = jnp.sum(jnp.where(pvalid, d, 0.0)) / jnp.maximum(jnp.sum(pvalid), 1)
+        # trigger band is WIDE on purpose: a mean inverse depth of 0.25
+        # (a 4 m scene) is a healthy gauge, not a pathology — rescaling
+        # it measurably degraded the subsequent solves (grid above); the
+        # runaway this guards against compounds exponentially (1e13 in
+        # the r4 soak), so catching it at 100x is early
+        drifted = (s_raw < 1e-2) | (s_raw > 1e2)
+        s = jnp.where(drifted, jnp.clip(s_raw, 0.25, 4.0), 1.0)
         dvec = jnp.where(pvalid, d / s, d)
         fvalid = jnp.arange(state.poses.shape[0]) < n
         t_scaled = state.poses[:, :3] * s
         poses = state.poses.at[:, :3].set(jnp.where(fvalid[:, None], t_scaled, state.poses[:, :3]))
-        # re-anchor to the first pose (ref patchgraph.py:100)
+        # re-anchor to the first pose (ref patchgraph.py:100) — only
+        # when actually rescaling (pose 0 is pinned by t0 >= 1 anyway
+        # outside apply_pgo, so this is normally the identity)
         anchor = se3.inv(poses[0])
         re = se3.mul(poses, anchor)
-        poses = jnp.where(fvalid[:, None], re, poses)
+        poses = jnp.where((fvalid & drifted)[:, None], re, poses)
         return state._replace(poses=poses, dvec=dvec), s
 
     def _global_ba(self, params, state: VOState, ges: Dict[str, Any], inac_pos, n_inac, t0, nfree, idx: Dict[str, Any]) -> VOState:

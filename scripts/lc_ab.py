@@ -44,7 +44,7 @@ def run(lc: bool, n_frames: int, noise: float, seed=1):
     kw = dict(BUFFER_SIZE=192, E_MAX=4096, E_INAC_MAX=8192, M_OPT_MAX=1024,
               MAX_EDGE_AGE=96, KEYFRAME_THRESH=0.0,
               GBA_POSES_MAX=256, GBA_DEPTHS_MAX=4096, GBA_EDGES_MAX=16384,
-              GBA_KPAIRS_MAX=1 << 17)
+              GBA_KPAIRS_MAX=1 << 18)
     if lc:
         kw.update(LOOP_CLOSURE=True, GLOBAL_OPT_FREQ=10, BACKEND_THRESH=64.0)
     cfg = small_cfg(**kw)
