@@ -107,8 +107,14 @@ class DPVO:
             self._buckets = [cfg.E_MAX]
         elif cfg.E_BUCKETS == "auto":
             align = lambda e: min(max(256, -(-e // 256) * 256), cfg.E_MAX)
+            # 2/3 and 5/6 rungs matter: the default-config steady state
+            # (~37.3k live edges of E_MAX=49152) otherwise rides the
+            # full-capacity program and pays ~32% padding in every
+            # edge-proportional op (corr, update, unpack)
             self._buckets = sorted({align(cfg.E_MAX // 8), align(cfg.E_MAX // 4),
-                                    align(cfg.E_MAX // 2), cfg.E_MAX})
+                                    align(cfg.E_MAX // 2),
+                                    align(cfg.E_MAX * 2 // 3),
+                                    align(cfg.E_MAX * 5 // 6), cfg.E_MAX})
         else:
             self._buckets = sorted(
                 {int(x) for x in cfg.E_BUCKETS.split(",") if int(x) <= cfg.E_MAX}
@@ -335,9 +341,13 @@ class DPVO:
         if self._pending is not None:
             rm_mask, st_mask, k_cull, n_after, nstore, head0 = self._pending
             self._pending = None
+            # the removal bitmasks index PRE-removal rows: the bucket
+            # must cover them or the device compaction drops edges
+            pend_cap = self._pending_cap
         else:
             rm_mask, st_mask, k_cull, n_after, nstore, head0 = (
                 None, None, -1, 0, 0, 0)
+            pend_cap = 0
         meta[3] = k_cull
         meta[16] = n_after
         meta[17] = nstore
@@ -346,7 +356,7 @@ class DPVO:
         # topology rows, padded to the chosen capacity bucket (host numpy)
         topo = self.topo
         Ecur = len(topo.ii)
-        need = max(Ecur, self._pending_cap if self._pending is not None else 0)
+        need = max(Ecur, pend_cap)
         E = next((b for b in self._buckets if b >= need), cfg.E_MAX)
         assert need <= E, (need, E)
         if E not in self._framebufs:
@@ -451,8 +461,18 @@ class DPVO:
             rm[:overflow] = True
             self.state = self._remove_store(rm)
         start, count = self.topo.append(kk, jj)
-        if not defer_zero:
-            self.state = self.steps.zero_edges(self.state, jnp.int32(start), jnp.int32(count))
+        if defer_zero:
+            # fused-step zeroing runs through a static window of
+            # M*2*PATCH_LIFETIME rows (steps._zero_edges); the deferred
+            # path is always edges_forw+edges_back, which fits it
+            assert count <= self.cfg.PATCHES_PER_FRAME * 2 * self.cfg.PATCH_LIFETIME, count
+        else:
+            # LC proximity batches can exceed the window: chunk
+            span = self.cfg.PATCHES_PER_FRAME * 2 * self.cfg.PATCH_LIFETIME
+            for off in range(0, count, span):
+                self.state = self.steps.zero_edges(
+                    self.state, jnp.int32(start + off),
+                    jnp.int32(min(span, count - off)))
         return start, count
 
     def _motion_probe(self) -> float:

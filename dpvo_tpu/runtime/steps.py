@@ -620,10 +620,21 @@ class StepFunctions:
         )
 
     def _zero_edges(self, state: VOState, start, count) -> VOState:
-        """Zero hidden state of freshly appended edges (ref dpvo.py:519)."""
-        idx = jnp.arange(self.cfg.E_MAX)
-        fresh = ((idx >= start) & (idx < start + count))[:, None]
-        return state._replace(net=jnp.where(fresh, 0.0, state.net).astype(state.net.dtype))
+        """Zero hidden state of freshly appended edges (ref dpvo.py:519).
+
+        Per-frame appends are bounded by M*(2*PATCH_LIFETIME-1) rows
+        (topology.edges_forw/edges_back), so only a static window is
+        touched — a full-buffer where() pass costs ~2x the net buffer
+        (150 MB at the default E_MAX) of HBM traffic per frame."""
+        cfg = self.cfg
+        span = min(cfg.E_MAX, cfg.PATCHES_PER_FRAME * 2 * cfg.PATCH_LIFETIME)
+        s0 = jnp.clip(start, 0, cfg.E_MAX - span)
+        win = jax.lax.dynamic_slice_in_dim(state.net, s0, span, 0)
+        rows = s0 + jnp.arange(span)
+        fresh = ((rows >= start) & (rows < start + count))[:, None]
+        win = jnp.where(fresh, 0.0, win).astype(win.dtype)
+        return state._replace(
+            net=jax.lax.dynamic_update_slice_in_dim(state.net, win, s0, 0))
 
     def _probe(self, params, state: VOState, es: Dict[str, Any]):
         """Motion probe: median |delta| over probe edges with zero hidden

@@ -69,7 +69,15 @@ def main():
     p.add_argument("--device", default="",
                    help="jax platform override (env vars alone are "
                         "overridden by the device plugin here)")
+    p.add_argument("--rows", default="",
+                   help="comma-separated substring filter of rows to "
+                        "measure (default: all)")
     args = p.parse_args()
+
+    _want = [w for w in args.rows.split(",") if w]
+
+    def sel(name):
+        return not _want or any(w in name for w in _want)
 
     import jax
 
@@ -92,7 +100,9 @@ def main():
     cfg = load_config(yaml, overrides)
 
     network = args.network or os.environ.get("DPVO_BENCH_NETWORK")
-    if network is None:
+    if network and network.lower() in ("none", "random"):
+        network = None          # force random weights + fixed cull cadence
+    elif network is None:
         cand = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                             "weights", "vonet_synth.npz")
         if os.path.exists(cand):
@@ -135,7 +145,8 @@ def main():
 
     rows = []
 
-    rows.append(("frame_step", scan_time(
+    if sel("frame_step"):
+        rows.append(("frame_step", scan_time(
         lambda s: steps._frame_step(params, s, img, buf, key, E_cap=E_cap)[0],
         slam.state)))
 
@@ -147,7 +158,8 @@ def main():
         fmap, gmap_p, imap_p, patches, clr = steps._patchify(params, imgf, key)
         return imgf, jnp.sum(fmap[0, 0, :1]).astype(jnp.float32)
 
-    rows.append(("patchify", scan_time(
+    if sel("patchify"):
+        rows.append(("patchify", scan_time(
         pf_body, (img.astype(jnp.float32), jnp.float32(0.0)))))
 
     def ingest_body(s):
@@ -159,7 +171,8 @@ def main():
             jnp.zeros((cfg.PATCHES_PER_FRAME, 3)), s.intrinsics[0] * cfg.RES,
             jnp.float32(1.0), jnp.bool_(True), jnp.bool_(True), key)
 
-    rows.append(("ingest", scan_time(ingest_body, slam.state)))
+    if sel("ingest"):
+        rows.append(("ingest", scan_time(ingest_body, slam.state)))
 
     # edge_fwd: _update_noba leaves poses/patches untouched, so without
     # threading XLA hoists the (loop-invariant) reproject+corr out of
@@ -170,21 +183,25 @@ def main():
         eps = (jnp.sum(s2.net[:1, :1]) * 1e-30).astype(s2.poses.dtype)
         return s2._replace(poses=s2.poses + eps)
 
-    rows.append(("edge_fwd (corr+update-op)", scan_time(ef_body, slam.state)))
+    if sel("edge_fwd (corr+update-op)"):
+        rows.append(("edge_fwd (corr+update-op)", scan_time(ef_body, slam.state)))
 
     # update+BA rewrites poses via the BA retraction — naturally threaded
-    rows.append(("update+BA", scan_time(
+    if sel("update+BA"):
+        rows.append(("update+BA", scan_time(
         lambda s: steps._update(params, s, es, t0v, nfree), slam.state)))
 
     # corr only: reproject + correlate, carry threads coords via a scalar
     from dpvo_tpu.geom import projective as pops
     from dpvo_tpu.ops.corr import corr_features_xla
     from dpvo_tpu.ops.corr_pallas import (
-        corr_features_pallas, corr_features_pallas_dma, corr_features_pallas_sw)
+        corr_features_pallas, corr_features_pallas_dma,
+        corr_features_pallas_fused, corr_features_pallas_sw)
 
     corr_fn = {"pallas": corr_features_pallas,
                "pallas_sw": corr_features_pallas_sw,
-               "pallas_dma": corr_features_pallas_dma}.get(
+               "pallas_dma": corr_features_pallas_dma,
+               "pallas_fused": corr_features_pallas_fused}.get(
                    steps.corr_impl, corr_features_xla)
     state = slam.state
 
@@ -198,7 +215,8 @@ def main():
                        es["valid"], radius=cfg.CORR_RADIUS)
         return jnp.sum(corr).astype(jnp.float32) * 1e-30, acc
 
-    rows.append(("reproject+corr", scan_time(corr_body, (jnp.float32(0.0),) * 2)))
+    if sel("reproject+corr"):
+        rows.append(("reproject+corr", scan_time(corr_body, (jnp.float32(0.0),) * 2)))
 
     # update operator only (net + fixed ctx/corr; carry threads net)
     E_full = int(es["ii"].shape[0])
@@ -213,24 +231,82 @@ def main():
             num_segments=cfg.M_OPT_MAX, num_ij_segments=2 * steps.PAIR_MAX)
         return net2
 
-    rows.append(("update-op", scan_time(upd_body, state.net[:E_full])))
+    if sel("update-op"):
+        rows.append(("update-op", scan_time(upd_body, state.net[:E_full])))
 
     # maintenance with an active cull (worst case: buffer shifts)
     perm = jnp.arange(E_cap, dtype=jnp.int32)
     z16 = jnp.zeros(E_cap, jnp.int32)
     k_cull = jnp.int32(max(slam.n - cfg.KEYFRAME_INDEX, 1))
 
-    rows.append(("maintenance (cull)", scan_time(
+    if sel("maintenance (cull)"):
+        rows.append(("maintenance (cull)", scan_time(
         lambda s: steps._maintenance(s, perm, z16, z16, k_cull,
                                      jnp.int32(slam.n), jnp.int32(0)),
         slam.state)))
 
+    # maintenance on a NO-cull, no-removal frame (k=-1, nstore=0): the
+    # steady-state common case.  Ideally ~0; any cost here is the
+    # unconditional edge-payload compaction gather / inactive-store
+    # scatter / lax.cond pass-through copies (VERDICT r4 weak #3).
+    if sel("maintenance (no-op frame)"):
+        rows.append(("maintenance (no-op frame)", scan_time(
+        lambda s: steps._maintenance(s, perm, z16, z16, jnp.int32(-1),
+                                     jnp.int32(slam.n), jnp.int32(0)),
+        slam.state)))
+
+    # ---- residual itemization (VERDICT r4 next #2) ----
+    # unpack_frame: payload buffer -> es/meta/ops (bitcasts, bit
+    # unpacking, cumsum compactions, jj_inv scatter)
+    def unpack_body(c):
+        b, acc = c
+        es_u, meta_u, (p_u, s_u, d_u) = steps.unpack_frame(b, E_cap)
+        dep = (meta_u[0] * 0.0).astype(jnp.uint8)
+        return b + dep, jnp.float32(p_u[0] + s_u[0] + d_u[0] + es_u["kk"][0])
+
+    if sel("unpack payload"):
+        rows.append(("unpack payload", scan_time(
+        unpack_body, (buf, jnp.float32(0.0)))))
+
+    # zero fresh edges (net/target/weight window clear)
+    def zero_body(s):
+        s2 = steps._zero_edges(s, jnp.int32(0), jnp.int32(cfg.PATCHES_PER_FRAME))
+        eps = (jnp.sum(s2.net[:1, :1]) * 1e-30).astype(s2.net.dtype)
+        return s2._replace(net=s2.net + eps)
+
+    if sel("zero fresh edges"):
+        rows.append(("zero fresh edges", scan_time(zero_body, slam.state)))
+
+    # keyframe flow-magnitude (two _flowmag_pair calls, as in the step)
+    M = cfg.PATCHES_PER_FRAME
+    i_kf = jnp.int32(max(slam.n - cfg.KEYFRAME_INDEX, 1))
+    kk_fm = jnp.arange(M, dtype=jnp.int32)
+
+    def fm_body(c):
+        s_eps, acc = c
+        iif = jnp.full((M,), i_kf, jnp.int32)
+        jjf = iif + 1
+        val = jnp.ones((M,), jnp.float32)
+        m1 = steps._flowmag_pair(state, iif, jjf, kk_fm + s_eps.astype(jnp.int32), val,
+                                 jnp.float32(0.5))
+        m2 = steps._flowmag_pair(state, jjf, iif, kk_fm, val, jnp.float32(0.5))
+        return (m1 * 1e-30).astype(jnp.float32), acc + m2
+
+    if sel("kf flow-magnitude"):
+        rows.append(("kf flow-magnitude", scan_time(
+        fm_body, (jnp.float32(0.0),) * 2)))
+
     r = dict(rows)
-    rows.append(("window BA (update+BA - edge_fwd)",
-                 r["update+BA"] - r["edge_fwd (corr+update-op)"]))
-    parts = (r["patchify"] + r["ingest"] + r["update+BA"]
-             + r["maintenance (cull)"])
-    rows.append(("sum(patchify+ingest+update+BA+maint)", parts))
+    parts = None
+    if "update+BA" in r and "edge_fwd (corr+update-op)" in r:
+        rows.append(("window BA (update+BA - edge_fwd)",
+                     r["update+BA"] - r["edge_fwd (corr+update-op)"]))
+    part_names = ("patchify", "ingest", "update+BA",
+                  "maintenance (no-op frame)", "unpack payload",
+                  "zero fresh edges", "kf flow-magnitude")
+    if all(k in r for k in part_names):
+        parts = sum(r[k] for k in part_names)
+        rows.append(("sum(all steady-state parts)", parts))
 
     print("\n| component | ms/frame |\n|---|---|")
     bad = False
@@ -241,7 +317,8 @@ def main():
     if bad:
         print("WARNING: non-positive row — measurement is untrustworthy "
               "(LICM hoist or host noise); re-run / inspect", file=sys.stderr)
-    if parts > 1.35 * r["frame_step"] or parts < 0.65 * r["frame_step"]:
+    if parts is not None and "frame_step" in r and (
+            parts > 1.35 * r["frame_step"] or parts < 0.65 * r["frame_step"]):
         print(f"WARNING: parts sum {parts*1e3:.2f} ms vs frame_step "
               f"{r['frame_step']*1e3:.2f} ms — rows are not sub-additive",
               file=sys.stderr)
